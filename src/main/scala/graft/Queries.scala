@@ -48,14 +48,184 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // -------------------------------------------------------------------------
+  // License annotation (SURVEY §2.3 P1): the flagship operator, run over HTML
+  // synthesized deterministically from doc_id so the DuckDB oracle can state
+  // the expected annotation in closed form — a differential test of the whole
+  // extract expression (tokenizer + URL parse + head/footer + contexts +
+  // element compression) per row.
+  // -------------------------------------------------------------------------
+
+  private[graft] val ccUrls: Seq[String] = Seq(
+    "https://creativecommons.org/licenses/by/4.0/",
+    "https://creativecommons.org/licenses/by-sa/3.0/",
+    "https://creativecommons.org/licenses/by-nd/2.5/",
+    "https://creativecommons.org/licenses/by-nc/2.0/",
+    "https://creativecommons.org/licenses/by-nc-sa/4.0/",
+    "https://creativecommons.org/licenses/by-nc-nd/3.0/",
+    "https://creativecommons.org/publicdomain/zero/1.0/",
+    "https://creativecommons.org/licenses/mark/1.0/",
+    "https://creativecommons.org/licenses/certification/1.0/",
+    "https://creativecommons.org/licenses/unknown/9.9/",
+    "https://example.com/licenses/by/4.0/",
+    "creativecommons.org/licenses/by/3.0/es/")
+  private[graft] val ccAbbrs: Seq[String] = Seq(
+    "by", "by-sa", "by-nd", "by-nc", "by-nc-sa", "by-nc-nd", "zero", "mark",
+    "certification", "cc-unknown", null, "by")
+  private[graft] val ccVers: Seq[String] = Seq(
+    "4.0", "3.0", "2.5", "2.0", "4.0", "3.0", "1.0", "1.0", "1.0", null, null, "3.0")
+
+  /** Deterministic per-row HTML page (5 channel templates + no-license rows). */
+  private[graft] def synthHtml(docId: Column): Column = {
+    val url = element_at(array(ccUrls.map(lit): _*), (docId % 12 + 1).cast("int"))
+    val ch = (docId % 5).cast("int")
+    val page = when(ch === 0, concat(
+      lit("<html><head><meta name=\"license\" content=\""), url,
+      lit("\"></head><body><p>Page body.</p></body></html>")))
+      .when(ch === 1, concat(
+        lit("<html><head><link rel=\"license\" href=\""), url,
+        lit("\"></head><body><p>Page body.</p></body></html>")))
+      .when(ch === 2, concat(
+        lit("<html><body><p>Licensed under</p> <a href=\""), url,
+        lit("\">CC</a> <p>All rights reserved.</p></body></html>")))
+      .when(ch === 3, concat(
+        lit("<html><body><div id=\"page-footer\"><a href=\""), url,
+        lit("\">License</a></div></body></html>")))
+      .otherwise(concat(
+        lit("<html><body><script type=\"application/ld+json\">{\"license\":\""), url,
+        lit("\"}</script></body></html>")))
+    when(docId % 7 === 0, lit("<html><body><p>Just text, no terms.</p></body></html>"))
+      .otherwise(page)
+  }
+
+  /** SQL fragment computing the same per-doc template metadata in DuckDB. */
+  private def synthMetaSql: String = {
+    def caseOn(col: String, vals: Seq[String]): String =
+      "CASE " + vals.zipWithIndex.map { case (v, i) =>
+        s"WHEN $col = $i THEN " + (if (v == null) "NULL" else s"'${v}'")
+      }.mkString(" ") + " ELSE NULL END"
+    s"""SELECT doc_id,
+       |  CAST(doc_id % 12 AS INT) AS idx,
+       |  CAST(doc_id % 5 AS INT) AS ch,
+       |  (doc_id % 7 = 0) AS nolic,
+       |  ${caseOn("CAST(doc_id % 12 AS INT)", ccAbbrs)} AS abbr,
+       |  ${caseOn("CAST(doc_id % 12 AS INT)", ccVers)} AS ver,
+       |  ${caseOn("CAST(doc_id % 12 AS INT)", ccUrls)} AS url
+       |FROM documents""".stripMargin
+  }
+
+  def qLicenseExtract(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions._
+    val docs = t(s, dir, "documents")
+    val withHtml = docs.select(col("doc_id"), synthHtml(col("doc_id")).as("html"))
+    // The extract expression itself applies the cheap creativecommons.org
+    // gate before parsing (SURVEY §4 R1/R2 defense in depth).
+    val extracted = withHtml.withColumn("x", extractCcLicenses(col("html")))
+    val metaCols = licenseMetadataColumns(col("x")).patch(8, Nil, 1) // sans potential_licenses
+    extracted.select(col("doc_id") +: metaCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val qLicenseExtractSql: String = {
+    s"""WITH m AS ($synthMetaSql)
+       |SELECT doc_id,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL ELSE abbr END AS license_abbr,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL ELSE ver END AS license_version,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL
+       |       WHEN ch = 0 THEN 'meta_tag' WHEN ch = 1 THEN 'link_tag'
+       |       WHEN ch = 2 THEN 'a_tag' WHEN ch = 3 THEN 'a_tag'
+       |       ELSE 'json-ld' END AS license_location,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL ELSE (ch IN (0, 1)) END AS license_in_head,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL ELSE (ch = 3) END AS license_in_footer,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL
+       |       WHEN ch = 0 THEN '<meta content="' || url || '" name="license"/>'
+       |       WHEN ch = 1 THEN '<link href="' || url || '" rel="license"/>'
+       |       WHEN ch = 2 THEN '<a href="' || url || '">CC</a>'
+       |       WHEN ch = 3 THEN '<a href="' || url || '">License</a>'
+       |       ELSE '<script type="application/ld+json">{"license":"' || url || '"}</script>'
+       |       END AS license_element,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL
+       |       WHEN ch = 2 THEN 'Licensed under' ELSE '' END AS license_left_context,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL
+       |       WHEN ch = 2 THEN 'All rights reserved.' ELSE '' END AS license_right_context,
+       |  FALSE AS license_parse_error,
+       |  CASE WHEN nolic OR abbr IS NULL THEN NULL ELSE FALSE END AS license_disagreement
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** F4 `LicenseFilter` + A2-style rollup: drop parse errors and rows without
+    * an explicit license, count kept rows per abbreviation. */
+  def qLicenseFilterAgg(s: SparkSession, dir: String): DataFrame = {
+    val annotated = qLicenseExtract(s, dir)
+    annotated
+      .filter(!col("license_parse_error") && col("license_abbr").isNotNull)
+      .groupBy(col("license_abbr"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("license_abbr"))
+  }
+
+  val qLicenseFilterAggSql: String =
+    s"""WITH m AS ($synthMetaSql)
+       |SELECT abbr AS license_abbr, COUNT(*) AS n_docs
+       |FROM m WHERE NOT nolic AND abbr IS NOT NULL
+       |GROUP BY abbr
+       |ORDER BY abbr""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // URL scalar functions (P1a, P7, P8 analogs + frontier canonicalization)
+  // -------------------------------------------------------------------------
+
+  private[graft] val parseUrlCases: Seq[(String, String, String)] =
+    (ccUrls.lazyZip(ccAbbrs).lazyZip(ccVers)).toList.map { case (u, a, v) => (u, a, v) } ++ Seq(
+      ("https://creativecommons.org/licenses/by-sa/4.0/?ref=chooser-v1&id=my%20work", "by-sa", "4.0"),
+      ("HTTPS://CREATIVECOMMONS.ORG/licenses/BY/4.0/", "by", "4.0"))
+
+  def qUrlParse(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions._
+    val n = parseUrlCases.length
+    val url = element_at(array(parseUrlCases.map(c => lit(c._1)): _*),
+      (col("doc_id") % n + 1).cast("int"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("p", parseCcLicenseUrlCol(col("url")))
+      .select(col("doc_id"), col("url"),
+        col("p").getField("abbr").as("abbr"),
+        col("p").getField("version").as("version"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qUrlParseSql: String = {
+    val n = parseUrlCases.length
+    def caseOn(sel: (String, String, String) => String): String =
+      "CASE " + parseUrlCases.zipWithIndex.map { case (c, i) =>
+        val v = sel.tupled(c)
+        s"WHEN doc_id % $n = $i THEN " + (if (v == null) "NULL" else s"'$v'")
+      }.mkString(" ") + " ELSE NULL END"
+    s"""SELECT doc_id,
+       |  ${caseOn((u, _, _) => u)} AS url,
+       |  ${caseOn((_, a, _) => a)} AS abbr,
+       |  ${caseOn((_, _, v) => v)} AS version
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------------
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "q_license_extract" -> (qLicenseExtract _),
+    "q_license_filter_agg" -> (qLicenseFilterAgg _),
+    "q_url_parse" -> (qUrlParse _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+    "q_license_extract" -> qLicenseExtractSql,
+    "q_license_filter_agg" -> qLicenseFilterAggSql,
+    "q_url_parse" -> qUrlParseSql
   )
 }
