@@ -19,7 +19,10 @@ object GraftFunctions {
     "canonicalize_url" -> (es => CanonicalizeUrl(es.head)),
     "url_host" -> (es => UrlHost(es.head)),
     "registered_domain" -> (es => RegisteredDomain(es.head)),
-    "url_hash64" -> (es => UrlHash64(es.head))
+    "url_hash64" -> (es => UrlHash64(es.head)),
+    "minhash_sig" -> (es => MinHashSig(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "winnow_fingerprint" -> (es => WinnowFingerprint(es.head))
   )
 
   @volatile private var registered: Set[SparkSession] = Set.empty
@@ -43,6 +46,9 @@ object GraftFunctions {
   def urlHost(url: Column): Column = call_function("url_host", url)
   def registeredDomain(url: Column): Column = call_function("registered_domain", url)
   def urlHash64(url: Column): Column = call_function("url_hash64", url)
+  def minhashSig(text: Column): Column = call_function("minhash_sig", text)
+  def simhash64(text: Column): Column = call_function("simhash64", text)
+  def winnowFingerprint(text: Column): Column = call_function("winnow_fingerprint", text)
 
   /** The 11 license metadata columns of the C5 schema from one extract-struct
     * column (the projection step of `license_annotator.py:53-71`), with

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic text hashing/sketching primitives for the dedup stage
+  * (MinHash signatures, SimHash, winnowing fingerprints). All hashing is
+  * pure-Scala (FNV-1a 64 + splitmix64 mixing) — stable across JVMs,
+  * partitions, and cluster sizes, which the north rule's cross-parallelism
+  * equality test requires.
+  */
+object TextHashing {
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Unicode-whitespace tokenization, lowercased. */
+  def tokens(text: String): Array[String] =
+    text.trim.toLowerCase.split("(?U)\\s+").filter(_.nonEmpty)
+
+  /** Word n-gram shingles joined with a single space. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val ts = tokens(text)
+    if (ts.length < n) {
+      if (ts.isEmpty) Array.empty else Array(ts.mkString(" "))
+    } else
+      Array.tabulate(ts.length - n + 1)(i => ts.slice(i, i + n).mkString(" "))
+  }
+
+  /** MinHash signature: k permutations via universal hashing
+    * h_i(x) = a_i * fnv(x) + b_i with fixed seeded (a_i odd, b_i). */
+  def minhashSig(text: String, k: Int, shingleSize: Int): Array[Long] = {
+    val sh = shingles(text, shingleSize)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (sh.isEmpty) return sig
+    val as = Array.tabulate(k)(i => splitmix64(2L * i + 1) | 1L)
+    val bs = Array.tabulate(k)(i => splitmix64(2L * i))
+    var j = 0
+    while (j < sh.length) {
+      val base = fnv1a64(sh(j))
+      var i = 0
+      while (i < k) {
+        val h = as(i) * base + bs(i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over lowercased whitespace tokens (unit weights). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    val ts = tokens(text)
+    var j = 0
+    while (j < ts.length) {
+      val h = fnv1a64(ts(j))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-char
+    * grams → rolling window of size w → per-window min hash (rightmost on
+    * ties) → distinct sorted selected hashes. */
+  def winnowFingerprint(text: String, k: Int, w: Int): Array[Long] = {
+    val norm = tokens(text).mkString(" ")
+    if (norm.length < k) {
+      return if (norm.isEmpty) Array.empty else Array(fnv1a64(norm))
+    }
+    val grams = Array.tabulate(norm.length - k + 1)(i => fnv1a64(norm.substring(i, i + k)))
+    if (grams.length <= w) return grams.distinct.sorted
+    val selected = scala.collection.mutable.SortedSet.empty[Long]
+    var start = 0
+    while (start + w <= grams.length) {
+      var minIdx = start
+      var i = start + 1
+      while (i < start + w) {
+        if (grams(i) <= grams(minIdx)) minIdx = i // rightmost minimum
+        i += 1
+      }
+      selected += grams(minIdx)
+      start += 1
+    }
+    selected.toArray
+  }
+}
+
+case class MinHashSig(child: Expression, numHashes: Int = 64, shingleSize: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.minhashSig(input.toString, numHashes, shingleSize))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(TextHashing.simhash64(input.toString))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WinnowFingerprint(child: Expression, k: Int = 5, window: Int = 4)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.winnowFingerprint(input.toString, k, window))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>` cast to double for engine-stable arithmetic).
+  *
+  * Brute force is the exact baseline: broadcast the (small) query set and
+  * scan the corpus once — a single narrow stage plus a per-query top-k, no
+  * corpus shuffle, which is the right plan at any corpus size as long as the
+  * query set is small. The LSH variant buckets by random-hyperplane sign
+  * bits so the scan only touches colliding buckets — the scale path when the
+  * query side is also large.
+  */
+object Ann {
+
+  /** Sequential-fold dot product (index order — deterministic and identical
+    * to a C++ loop, so oracle engines agree bit-for-bit). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * @param corpus  (idCol, vecCol) table — scanned once, never shuffled
+    * @param queries (qidCol, vecCol) small table — broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("c_vec"))
+    val q = queries.select(col(qidCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("nn_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
+    * Hyperplanes are fixed seeded pseudo-random vectors (splitmix64 stream),
+    * identical on every executor — no fitted model object to ship. */
+  def rhpSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    require(nBits <= 63)
+    val planes: Seq[Seq[Double]] = (0 until nBits).map { b =>
+      (0 until dim).map { d =>
+        // map splitmix64 to (-1, 1)
+        val h = graft.functions.TextHashing.splitmix64(b.toLong * 131071L + d)
+        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+    val planeArr = array(planes.map(p => array(p.map(lit): _*)): _*)
+    aggregate(
+      zip_with(planeArr, sequence(lit(0), lit(nBits - 1)),
+        (plane, idx) => when(dot(plane, vec.cast("array<double>")) >= 0,
+          pow(lit(2.0), idx.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Bucketed ANN: join corpus and queries on the LSH bucket, rank within
+    * collisions. Trades recall for touching only matching buckets. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      dim: Int,
+      nBits: Int,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("bucket", rhpSignature(col("c_vec"), dim, nBits))
+    val q = queries.select(col(qidCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("bucket", rhpSignature(col("q_vec"), dim, nBits))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("q_id"), col("nn_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

