@@ -1,0 +1,150 @@
+package graft
+
+import graft.frontier.{Scheduler, SeenSet}
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-stage operators under the DuckDB oracle: URL canonicalization +
+  * frontier scheduling (dedupe → robots → politeness window) and the image
+  * decode/round-trip invariant. Inputs are derived from `documents.doc_id`
+  * with pure arithmetic so the oracle can state expected outputs in closed
+  * form while the Spark side runs the real expressions and scheduler.
+  */
+object CrawlQueries {
+  import Queries.t
+
+  private val NHosts = 40
+
+  // --- frontier scheduling ----------------------------------------------------
+
+  /** Five URL spellings per doc (dups, case, default port, fragment,
+    * percent-encoding) that all canonicalize to the same page URL. */
+  def qFrontierSchedule(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val hostIdx = col("doc_id") % NHosts
+    val base = concat(lit("http://site"), hostIdx, lit(".example/page/"), col("doc_id"))
+    val variants = array(
+      base,
+      concat(lit("HTTP://SITE"), hostIdx, lit(".EXAMPLE/page/"), col("doc_id")),
+      concat(lit("http://site"), hostIdx, lit(".example:80/page/"), col("doc_id")),
+      concat(base, lit("#frag")),
+      concat(lit("http://site"), hostIdx, lit(".example/%70age/"), col("doc_id")))
+    val seeds = t(s, dir, "documents")
+      .select(col("doc_id"), explode(variants).as("url"))
+      .select(col("url"), col("doc_id").cast("double").as("priority"))
+    // robots: hosts ≡ 0 (mod 7) disallow the /page/1* range
+    val robots = s.range(NHosts)
+      .select(concat(lit("site"), col("id"), lit(".example")).as("host"),
+        when(col("id") % 7 === 0, array(lit("/page/1")))
+          .otherwise(array().cast("array<string>")).as("disallowed"))
+    val emptySeen = new SeenSet(
+      java.nio.file.Files.createTempDirectory("qfs-seen").toString, s)
+    Scheduler.scheduleEpoch(seeds, emptySeen, Some(robots), budgetPerHost = 2)
+      .select(col("canon_url"), col("host"),
+        col("priority").cast("bigint").as("priority"), col("host_rank"))
+      .orderBy(col("priority").desc, col("canon_url"))
+  }
+
+  val qFrontierScheduleSql: String =
+    s"""WITH seeds AS (
+       |  SELECT doc_id,
+       |    'http://site' || (doc_id % $NHosts) || '.example/page/' || doc_id AS canon_url,
+       |    'site' || (doc_id % $NHosts) || '.example' AS host,
+       |    doc_id AS priority
+       |  FROM documents
+       |), allowed AS (
+       |  SELECT * FROM seeds
+       |  WHERE NOT ((doc_id % $NHosts) % 7 = 0
+       |             AND ('/page/' || doc_id) LIKE '/page/1%')
+       |), ranked AS (
+       |  SELECT canon_url, host, priority,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC) AS INT) AS host_rank
+       |  FROM allowed
+       |)
+       |SELECT canon_url, host, priority, host_rank FROM ranked
+       |WHERE host_rank <= 2
+       |ORDER BY priority DESC, canon_url""".stripMargin
+
+  // --- registered domain / host extraction ------------------------------------
+
+  def qUrlHostDomain(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sub = element_at(array(lit(""), lit("www."), lit("img.cdn.")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val tld = element_at(array(lit("com"), lit("co.uk"), lit("org"), lit("com.au")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val url = concat(lit("https://"), sub, lit("brand"), col("doc_id") % 50,
+      lit("."), tld, lit("/x"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        GraftFunctions.urlHost(col("url")).as("host"),
+        GraftFunctions.registeredDomain(col("url")).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qUrlHostDomainSql: String =
+    """SELECT doc_id, url, host,
+      |  CASE WHEN sub = '' THEN host
+      |       ELSE 'brand' || (doc_id % 50) || '.' || tld END AS domain
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'img.cdn.' END AS sub,
+      |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'org' ELSE 'com.au' END AS tld
+      |  FROM documents) p,
+      |LATERAL (SELECT
+      |    'https://' || sub || 'brand' || (doc_id % 50) || '.' || tld || '/x' AS url,
+      |    sub || 'brand' || (doc_id % 50) || '.' || tld AS host) u
+      |ORDER BY doc_id""".stripMargin
+
+  // --- image synthesis / decode round-trip -------------------------------------
+
+  def qImageRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val w = (col("doc_id") % 64 + 16).cast("int")
+    val h = (col("doc_id") % 48 + 16).cast("int")
+    val fmt = element_at(array(lit("png"), lit("bmp"), lit("jpeg")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), w.as("w"), h.as("h"), fmt.as("fmt"))
+      .withColumn("bytes", GraftFunctions.genImage(col("doc_id"), col("w"), col("h"), col("fmt")))
+    val dims = GraftFunctions.decodeImageDims(col("bytes"))
+    d.select(col("doc_id"), col("fmt"),
+      dims.getField("w").as("decoded_w"),
+      dims.getField("h").as("decoded_h"),
+      (GraftFunctions.psnrVsPattern(col("bytes"), col("doc_id"), col("w"), col("h")) >= 40.0)
+        .as("pixels_ok"),
+      when(col("fmt") =!= "jpeg",
+        GraftFunctions.phash64(col("bytes")) ===
+          GraftFunctions.phash64(GraftFunctions.genImage(col("doc_id"), col("w"), col("h"), lit("png"))))
+        .as("phash_cross_format_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** jpeg phash may drift a bit vs png at tiny rasters; the oracle only pins
+    * the lossless formats for cross-format equality and pins pixels_ok for
+    * all formats (psnr ≥ 40 is the invariant, 999=∞ for lossless). */
+  val qImageRoundtripSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+      |  CAST(doc_id % 64 + 16 AS INT) AS decoded_w,
+      |  CAST(doc_id % 48 + 16 AS INT) AS decoded_h,
+      |  TRUE AS pixels_ok,
+      |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE TRUE END AS phash_cross_format_ok
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY doc_id""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frontier_schedule" -> (qFrontierSchedule _),
+    "q_url_host_domain" -> (qUrlHostDomain _),
+    "q_image_roundtrip" -> (qImageRoundtrip _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_frontier_schedule" -> qFrontierScheduleSql,
+    "q_url_host_domain" -> qUrlHostDomainSql,
+    "q_image_roundtrip" -> qImageRoundtripSql
+  )
+}

@@ -1,0 +1,129 @@
+package graft.crawl
+
+import graft.frontier.{Scheduler, SeenSet}
+import graft.functions.GraftFunctions
+import graft.table.SnapshotTable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One crawl epoch as a typed DataFrame job (north rule): frontier →
+  * seen-set dedupe → politeness-budget scheduling → simulated fetch → image
+  * decode + invariant checks → license annotation → snapshot-committed
+  * outputs, with per-stage markers so a killed run resumes mid-epoch.
+  *
+  * State layout under `stateRoot`: `frontier/`, `seen/`, `scheduled/`,
+  * `out/` — each a [[SnapshotTable]] with atomic commits. Every stage is
+  * idempotent (pure function of committed inputs), so re-running an epoch
+  * after a crash cannot corrupt state: the reference's resume-at-record-index
+  * (`retry_warc.py:80-101`) maps to "redo the uncommitted stage".
+  */
+object CrawlEpoch {
+
+  final case class EpochMetrics(
+      epoch: Long,
+      scheduled: Long,
+      fetched: Long,
+      licensed: Long,
+      decodeOk: Long,
+      newFrontier: Long)
+
+  def frontierTable(stateRoot: String, spark: SparkSession) =
+    new SnapshotTable(s"$stateRoot/frontier", spark)
+
+  /** Install the epoch-0 frontier from a seed list (url, priority). */
+  def seed(stateRoot: String, spark: SparkSession, seeds: DataFrame): Unit =
+    frontierTable(stateRoot, spark).commit(seeds, Map("stage" -> "seed"))
+
+  /** Run (or resume) epoch `epoch`. */
+  def run(
+      stateRoot: String,
+      spark: SparkSession,
+      pages: DataFrame,
+      images: DataFrame,
+      robots: Option[DataFrame],
+      budgetPerHost: Int,
+      epoch: Long,
+      linkPriorityDecay: Double = 0.8): EpochMetrics = {
+    GraftFunctions.register(spark)
+    val frontier = frontierTable(stateRoot, spark)
+    val seen = new SeenSet(s"$stateRoot/seen", spark)
+    val schedTable = new SnapshotTable(s"$stateRoot/scheduled", spark)
+    val outTable = new SnapshotTable(s"$stateRoot/out", spark)
+
+    // --- stage 1: schedule ---------------------------------------------------
+    if (!schedTable.stageDone(epoch, "scheduled")) {
+      val sch = Scheduler.scheduleEpoch(frontier.read(), seen, robots, budgetPerHost)
+      schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
+      schedTable.markStage(epoch, "scheduled")
+    }
+    val scheduled = schedTable.read()
+
+    // --- stage 2: fetch + decode + annotate → out ---------------------------
+    if (!outTable.stageDone(epoch, "out")) {
+      val fetched = scheduled.join(
+        pages.withColumnsRenamed(Map("url" -> "page_url")),
+        scheduled("canon_url") === col("page_url"), "left")
+      val withImage = fetched.join(
+        images.select(col("image_id"), col("bytes"), col("w"), col("h"),
+          col("fmt"), col("caption"), col("phash")),
+        Seq("image_id"), "left")
+      val imgSeed = substring(col("image_id"), 5, 8).cast("long")
+      val dims = GraftFunctions.decodeImageDims(col("bytes"))
+      val annotated = withImage
+        .withColumn("fetch_status", when(col("html").isNotNull, 200).otherwise(404))
+        .withColumn("decoded_w", dims.getField("w"))
+        .withColumn("decoded_h", dims.getField("h"))
+        .withColumn("phash_ok",
+          when(col("bytes").isNotNull, GraftFunctions.phash64(col("bytes")) === col("phash")))
+        .withColumn("pixels_ok",
+          when(col("bytes").isNotNull,
+            GraftFunctions.psnrVsPattern(col("bytes"), imgSeed, col("w"), col("h")) >= 40.0))
+        .withColumn("__lic", when(col("html").isNotNull,
+          graft.functions.GraftFunctions.extractCcLicenses(col("html"))))
+      val out = annotated.select(
+        Seq(col("url"), col("canon_url"), col("host"), col("url_hash"),
+          col("priority"), col("host_rank"), lit(epoch).as("epoch"),
+          col("fetch_status"), col("image_id"), col("caption"),
+          col("w"), col("h"), col("fmt"), col("decoded_w"), col("decoded_h"),
+          col("phash_ok"), col("pixels_ok"), col("html")) ++
+          GraftFunctions.licenseMetadataColumns(col("__lic")): _*)
+      outTable.commit(out.drop("html"),
+        Map("epoch" -> epoch.toString, "stage" -> "out"),
+        partitionBy = Seq("fetch_status"))
+      outTable.markStage(epoch, "out")
+    }
+
+    // --- stage 3: seen-set update -------------------------------------------
+    if (!new java.io.File(s"$stateRoot/seen/stages/e$epoch-seen").exists()) {
+      seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString))
+      seen.table.markStage(epoch, "seen")
+    }
+
+    // --- stage 4: next frontier (discovered links + unscheduled backlog) ----
+    if (!frontier.stageDone(epoch, "frontier")) {
+      // html is not persisted in the output snapshot; re-derive links from
+      // the fetch corpus via a semi join on the scheduled set (narrow scan)
+      val fetchedPages = pages.join(
+        scheduled.select(col("canon_url")),
+        pages("url") === col("canon_url"), "left_semi")
+      val links = fetchedPages
+        .select(explode(GraftFunctions.extractLinks(col("html"))).as("url"))
+        .withColumn("priority", lit(linkPriorityDecay))
+      val backlog = frontier.read() // URLs not scheduled this epoch stay queued
+      val next = backlog.select(col("url"), col("priority"))
+        .unionByName(links)
+      frontier.commit(next, Map("epoch" -> epoch.toString, "stage" -> "frontier"))
+      frontier.markStage(epoch, "frontier")
+    }
+
+    val out = outTable.read()
+    EpochMetrics(
+      epoch = epoch,
+      scheduled = scheduled.count(),
+      fetched = out.filter(col("fetch_status") === 200).count(),
+      licensed = out.filter(col("license_abbr").isNotNull).count(),
+      decodeOk = out.filter(col("pixels_ok") && col("phash_ok")).count(),
+      newFrontier = frontier.read().count())
+  }
+}

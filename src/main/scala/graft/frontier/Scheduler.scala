@@ -1,0 +1,84 @@
+package graft.frontier
+
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Epoch scheduler: frontier → canonicalize/hash → in-epoch dedupe →
+  * seen-set dedupe → robots gate → per-host politeness budget → deterministic
+  * crawl order.
+  *
+  * Determinism rule (SURVEY §7.4.2): order is defined entirely by DATA —
+  * `(priority DESC, url_hash ASC)` globally and within hosts — never by
+  * partition iteration order, so the schedule is byte-identical at any
+  * parallelism (the north rule's N vs 4N equality).
+  *
+  * Skew rule: the politeness top-N is computed in two phases — first within
+  * `(host, salt)` sub-partitions (salt = url_hash mod `saltBuckets`), keeping
+  * at most `budget` rows per sub-partition, then exactly within `host` on the
+  * massively reduced survivor set. A hot host with 10^8 frontier rows costs
+  * 16 parallel tasks of 10^8/16 rows instead of one task of 10^8 (the
+  * reference's analog was launch-stagger, SURVEY §4 R9 — ours is data-level).
+  */
+object Scheduler {
+
+  /** Normalize a raw frontier of (url, priority) into
+    * (url, canon_url, host, url_hash, priority), deduplicating identical
+    * canonical URLs (max priority wins; min raw url as stable witness). */
+  def normalize(frontier: DataFrame): DataFrame = {
+    GraftFunctions.register(frontier.sparkSession)
+    frontier
+      .withColumn("canon_url", GraftFunctions.canonicalizeUrl(col("url")))
+      .withColumn("host", GraftFunctions.urlHost(col("url")))
+      .withColumn("url_hash", GraftFunctions.urlHash64(col("url")))
+      .groupBy(col("canon_url"), col("host"), col("url_hash"))
+      .agg(max(col("priority")).as("priority"), min(col("url")).as("url"))
+  }
+
+  /** robots gate: drop rows whose canonical path starts with any disallowed
+    * prefix for the host. `robots` = (host, disallowed array<string>).
+    * Broadcast: the robots table is per-host, tiny relative to the frontier. */
+  def applyRobots(frontier: DataFrame, robots: DataFrame): DataFrame = {
+    val path = regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", "")
+    frontier
+      .join(broadcast(robots), Seq("host"), "left")
+      .withColumn("__path", path)
+      .filter(col("disallowed").isNull ||
+        !exists(col("disallowed"), d => col("__path").startsWith(d)))
+      .drop("disallowed", "__path")
+  }
+
+  /** Per-host politeness budget via salted two-phase top-N (see class doc). */
+  def politenessSelect(frontier: DataFrame, budgetPerHost: Int,
+      saltBuckets: Int = 16): DataFrame = {
+    val salt = pmod(col("url_hash"), lit(saltBuckets))
+    val w1 = Window.partitionBy(col("host"), salt)
+      .orderBy(col("priority").desc, col("url_hash"))
+    val w2 = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("url_hash"))
+    frontier
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= budgetPerHost)
+      .drop("__r1")
+      .withColumn("host_rank", row_number().over(w2))
+      .filter(col("host_rank") <= budgetPerHost)
+  }
+
+  /** Full epoch schedule. Output carries `host_rank` (politeness slot within
+    * the host) and is totally ordered by `(priority DESC, url_hash)` — the
+    * crawl order contract. */
+  def scheduleEpoch(
+      rawFrontier: DataFrame,
+      seenSet: SeenSet,
+      robots: Option[DataFrame],
+      budgetPerHost: Int): DataFrame = {
+    val normalized = normalize(rawFrontier)
+    val unseen = seenSet.filterUnseen(normalized)
+    val allowed = robots.fold(unseen)(applyRobots(unseen, _))
+    politenessSelect(allowed, budgetPerHost)
+      .select(col("url"), col("canon_url"), col("host"), col("url_hash"),
+        col("priority"), col("host_rank"))
+  }
+}

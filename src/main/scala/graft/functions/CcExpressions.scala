@@ -92,6 +92,26 @@ case class ParseCcLicenseUrl(child: Expression)
     copy(child = newChild)
 }
 
+/** Extract outgoing `<a href>` links (absolute http/https only) in document
+  * order — feeds the next epoch's frontier. */
+case class ExtractLinks(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "extract_links"
+  override def nullSafeEval(input: Any): Any = {
+    val root = graft.html.HtmlParser.parse(input.toString)
+    val links = graft.html.Dom.elementsInOrder(root).iterator
+      .filter(_.name == "a")
+      .flatMap(_.attr("href"))
+      .filter(h => h.startsWith("http://") || h.startsWith("https://"))
+      .map(UTF8String.fromString)
+      .toArray[Any]
+    new GenericArrayData(links)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Percent-decode (Python `urllib.parse.unquote` semantics — no '+' → space). */
 case class UrlDecode(child: Expression)
     extends UnaryExpression with CodegenFallback {

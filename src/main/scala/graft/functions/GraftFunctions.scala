@@ -22,7 +22,13 @@ object GraftFunctions {
     "url_hash64" -> (es => UrlHash64(es.head)),
     "minhash_sig" -> (es => MinHashSig(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
-    "winnow_fingerprint" -> (es => WinnowFingerprint(es.head))
+    "winnow_fingerprint" -> (es => WinnowFingerprint(es.head)),
+    "gen_image" -> (es => GenImage(es(0), es(1), es(2), es(3))),
+    "decode_image_dims" -> (es => DecodeImageDims(es.head)),
+    "phash64" -> (es => PHash64(es.head)),
+    "psnr_vs_pattern" -> (es => PsnrVsPattern(es(0), es(1), es(2), es(3))),
+    "image_feature_stub" -> (es => ImageFeatureStub(es.head)),
+    "extract_links" -> (es => ExtractLinks(es.head))
   )
 
   @volatile private var registered: Set[SparkSession] = Set.empty
@@ -49,6 +55,14 @@ object GraftFunctions {
   def minhashSig(text: Column): Column = call_function("minhash_sig", text)
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def winnowFingerprint(text: Column): Column = call_function("winnow_fingerprint", text)
+  def genImage(seed: Column, w: Column, h: Column, fmt: Column): Column =
+    call_function("gen_image", seed, w, h, fmt)
+  def decodeImageDims(bytes: Column): Column = call_function("decode_image_dims", bytes)
+  def phash64(bytes: Column): Column = call_function("phash64", bytes)
+  def psnrVsPattern(bytes: Column, seed: Column, w: Column, h: Column): Column =
+    call_function("psnr_vs_pattern", bytes, seed, w, h)
+  def imageFeatureStub(bytes: Column): Column = call_function("image_feature_stub", bytes)
+  def extractLinks(html: Column): Column = call_function("extract_links", html)
 
   /** The 11 license metadata columns of the C5 schema from one extract-struct
     * column (the projection step of `license_annotator.py:53-71`), with

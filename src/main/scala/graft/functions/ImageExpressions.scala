@@ -1,0 +1,123 @@
+package graft.functions
+
+import graft.image.ImageCodec
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multimodal (image) column expressions: synthesis, decode, perceptual
+  * hashing. Images are opaque `binary` columns with typed metadata — the
+  * decode/feature stages run inside projections (one narrow stage, no
+  * shuffle), which is the Spark-native shape for 100 TB of media blobs.
+  */
+
+/** Deterministic image synthesis: (seed, w, h, fmt) → encoded bytes. */
+case class GenImage(seed: Expression, w: Expression, h: Expression, fmt: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = seed
+  override def second: Expression = w
+  override def third: Expression = h
+  override def fourth: Expression = fmt
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gen_image"
+  override def nullSafeEval(s: Any, wv: Any, hv: Any, f: Any): Any =
+    ImageCodec.generate(s.asInstanceOf[Long], wv.asInstanceOf[Int],
+      hv.asInstanceOf[Int], f.toString)
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(seed = a, w = b, h = c, fmt = d)
+}
+
+/** Decode image bytes → struct(w, h) (null on undecodable input). */
+case class DecodeImageDims(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("w", IntegerType), StructField("h", IntegerType)))
+  override def prettyName: String = "decode_image_dims"
+  override def nullSafeEval(input: Any): Any = {
+    val img = ImageCodec.decode(input.asInstanceOf[Array[Byte]])
+    if (img == null) null else InternalRow(img.getWidth, img.getHeight)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Perceptual hash of encoded image bytes. */
+case class PHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash64"
+  override def nullSafeEval(input: Any): Any = {
+    val img = ImageCodec.decode(input.asInstanceOf[Array[Byte]])
+    if (img == null) null else java.lang.Long.valueOf(ImageCodec.phash64(img))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PSNR (dB) of image bytes against the regenerated seeded pattern; the
+  * per-row decode invariant (∞ → encoded as 999.0 for a stable column). */
+case class PsnrVsPattern(bytes: Expression, seed: Expression, w: Expression, h: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = bytes
+  override def second: Expression = seed
+  override def third: Expression = w
+  override def fourth: Expression = h
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "psnr_vs_pattern"
+  override def nullSafeEval(b: Any, s: Any, wv: Any, hv: Any): Any = {
+    val img = ImageCodec.decode(b.asInstanceOf[Array[Byte]])
+    if (img == null) return null
+    val ref = ImageCodec.pattern(s.asInstanceOf[Long], wv.asInstanceOf[Int], hv.asInstanceOf[Int])
+    val p = ImageCodec.psnr(ref, img)
+    java.lang.Double.valueOf(if (p.isInfinity) 999.0 else p)
+  }
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(bytes = a, seed = b, w = c, h = d)
+}
+
+/** STUB — multimodal feature extraction beyond decode (object tags, audio
+  * spectrograms, video frame sampling) would sit behind this same expression
+  * shape; the container has no media ML libraries, so the feature vector is a
+  * deterministic fake derived from the decoded pixels (documented stub, not
+  * a silent one). */
+case class ImageFeatureStub(child: Expression, dims: Int = 8)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "image_feature_stub"
+  override def nullSafeEval(input: Any): Any = {
+    val img = ImageCodec.decode(input.asInstanceOf[Array[Byte]])
+    if (img == null) return null
+    // mean RGB of a dims-cell column stripe — deterministic, decode-backed
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](dims)
+    var d = 0
+    while (d < dims) {
+      val x0 = d * w / dims
+      val x1 = math.max(x0 + 1, (d + 1) * w / dims)
+      var sum = 0.0
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          n += 3
+          x += 1
+        }
+        y += 1
+      }
+      out(d) = if (n == 0) 0.0 else sum / n / 255.0
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

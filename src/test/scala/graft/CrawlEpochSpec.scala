@@ -1,0 +1,81 @@
+package graft
+
+import graft.crawl.CrawlEpoch
+import graft.frontier.Scheduler
+import graft.gen.SyntheticCorpus
+import graft.table.SnapshotTable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class CrawlEpochSpec extends SparkSpecBase {
+
+  private def corpus(): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pages = SyntheticCorpus.pages(spark, 400).cache()
+    val images = SyntheticCorpus.images(spark, 400).cache()
+    val seeds = SyntheticCorpus.seedUrls(spark, 300, pageCount = 400)
+    val robots = SyntheticCorpus.robots(spark)
+    (pages, images, seeds, robots)
+  }
+
+  private def outSorted(root: String): Seq[String] = {
+    new SnapshotTable(s"$root/out", spark).read()
+      .select(col("canon_url"), col("fetch_status"), col("license_abbr"),
+        col("phash_ok"), col("pixels_ok"), col("host_rank"))
+      .collect()
+      .map(_.toString)
+      .sorted.toSeq
+  }
+
+  test("two crawl epochs: fetch, decode invariants, license annotation, frontier growth") {
+    val (pages, images, seeds, robots) = corpus()
+    val root = Files.createTempDirectory("crawlA").toString
+    CrawlEpoch.seed(root, spark, seeds)
+    val m1 = CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+    assert(m1.scheduled > 0)
+    assert(m1.fetched > 0)
+    assert(m1.licensed > 0, "license-bearing pages expected at ~3.5% rate")
+    // every fetched row decodes and round-trips (the per-row payload invariant)
+    val out = new SnapshotTable(s"$root/out", spark).read()
+    val fetched = out.filter(col("fetch_status") === 200)
+    assert(fetched.filter(!col("phash_ok") || !col("pixels_ok")).count() === 0)
+    assert(fetched.filter(col("decoded_w") =!= col("w") || col("decoded_h") =!= col("h")).count() === 0)
+    // captions byte-equal to the corpus table's
+    val capMismatch = fetched.join(images.select(col("image_id"), col("caption").as("expected_caption")), "image_id")
+      .filter(col("caption") =!= col("expected_caption")).count()
+    assert(capMismatch === 0)
+
+    val m2 = CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 2)
+    assert(m2.scheduled > 0, "epoch 2 schedules newly discovered links")
+    // seen-set grows monotonically and epoch-2 scheduled no epoch-1 url
+    val sch1 = new SnapshotTable(s"$root/scheduled", spark).readAt(1)
+      .select("url_hash").collect().map(_.getLong(0)).toSet
+    val sch2 = new SnapshotTable(s"$root/scheduled", spark).readAt(2)
+      .select("url_hash").collect().map(_.getLong(0)).toSet
+    assert(sch1.intersect(sch2).isEmpty, "an already-crawled URL was rescheduled")
+  }
+
+  test("mid-epoch resume: pre-completed schedule stage is not redone and output matches a clean run") {
+    val (pages, images, seeds, robots) = corpus()
+    val rootA = Files.createTempDirectory("crawlB1").toString
+    val rootB = Files.createTempDirectory("crawlB2").toString
+    CrawlEpoch.seed(rootA, spark, seeds)
+    CrawlEpoch.seed(rootB, spark, seeds)
+    // clean run on A
+    CrawlEpoch.run(rootA, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+    // on B: simulate a crash after stage 1 committed (schedule done, marker set)
+    val schedB = new SnapshotTable(s"$rootB/scheduled", spark)
+    val seenB = new graft.frontier.SeenSet(s"$rootB/seen", spark)
+    val sch = Scheduler.scheduleEpoch(
+      CrawlEpoch.frontierTable(rootB, spark).read(), seenB, Some(robots), 5)
+    schedB.commit(sch, Map("epoch" -> "1", "stage" -> "scheduled"))
+    schedB.markStage(1, "scheduled")
+    val schedSnapshotBefore = schedB.currentSnapshotId.get
+    // resume
+    CrawlEpoch.run(rootB, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+    assert(schedB.currentSnapshotId.get === schedSnapshotBefore, "schedule stage was redone")
+    assert(outSorted(rootA) === outSorted(rootB), "resumed run diverged from clean run")
+  }
+}

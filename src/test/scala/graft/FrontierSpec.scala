@@ -1,0 +1,114 @@
+package graft
+
+import graft.frontier.{CuckooFilter, Scheduler, SeenSet}
+import graft.gen.SyntheticCorpus
+import graft.table.SnapshotTable
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class FrontierSpec extends SparkSpecBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // --- cuckoo filter ---------------------------------------------------------
+
+  test("cuckoo: insert/contains/delete, no false negatives") {
+    val f = CuckooFilter.forCapacity(10000)
+    val keys = (0L until 10000L).map(graft.functions.TextHashing.splitmix64)
+    keys.foreach(k => assert(f.insert(k)))
+    keys.foreach(k => assert(f.contains(k), s"false negative for $k"))
+    // delete half, deleted keys report absent (no stray fingerprints here)
+    val (del, keep) = keys.splitAt(5000)
+    del.foreach(k => assert(f.delete(k)))
+    keep.foreach(k => assert(f.contains(k)))
+    val fpAfterDelete = del.count(f.contains)
+    assert(fpAfterDelete < 100, s"too many post-delete positives: $fpAfterDelete")
+  }
+
+  test("cuckoo: serialization round-trip preserves state") {
+    val f = CuckooFilter.forCapacity(1000)
+    (0L until 1000L).foreach(i => f.insert(i * 7919L))
+    val g = CuckooFilter.deserialize(f.serialize())
+    (0L until 1000L).foreach(i => assert(g.contains(i * 7919L)))
+    assert(g.size === f.size)
+  }
+
+  // --- snapshot table --------------------------------------------------------
+
+  test("snapshot table: commit/read/time-travel/atomic current") {
+    import spark.implicits._
+    val root = tmpDir("snap")
+    val t = new SnapshotTable(root, spark)
+    assert(!t.exists)
+    val id1 = t.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val id2 = t.commit(Seq((3L, "c")).toDF("k", "v"))
+    assert(id1 === 1L && id2 === 2L)
+    assert(t.read().count() === 1)
+    assert(t.readAt(1).count() === 2)
+    val m = t.manifest(2).get
+    assert(m.get("row_count").asLong === 1L)
+    assert(m.get("parent_id").asLong === 1L)
+  }
+
+  // --- seen set --------------------------------------------------------------
+
+  test("seen set: exact semantics — no false drops, no leaks") {
+    import spark.implicits._
+    val root = tmpDir("seen")
+    val seen = new SeenSet(root, spark)
+    val first = (0L until 5000L).toDF("url_hash")
+    seen.add(first)
+    val probe = (0L until 10000L).toDF("url_hash")
+    val unseen = seen.filterUnseen(probe).as[Long].collect().sorted
+    assert(unseen.toSeq === (5000L until 10000L).toSeq)
+    // replay safety: re-adding is a no-op on the key count
+    seen.add(first)
+    assert(seen.keys().count() === 5000L)
+  }
+
+  // --- scheduler determinism + politeness -------------------------------------
+
+  test("scheduler: identical schedule at different parallelism and partitioning") {
+    val seeds = SyntheticCorpus.seedUrls(spark, 3000, pageCount = 2000)
+    def runAt(shufflePartitions: Int, inputParts: Int): Seq[Row3] = {
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+      try {
+        val emptySeen = new SeenSet(tmpDir("s"), spark)
+        Scheduler.scheduleEpoch(seeds.repartition(inputParts), emptySeen,
+          Some(SyntheticCorpus.robots(spark)), budgetPerHost = 3)
+          .select(col("canon_url"), col("priority"), col("host_rank"))
+          .collect()
+          .map(r => Row3(r.getString(0), r.getDouble(1), r.getInt(2)))
+          .sortBy(r => (r.canon, r.rank)).toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+    val a = runAt(4, 3)
+    val b = runAt(32, 17)
+    assert(a === b, "schedule differs across parallelism")
+    assert(a.nonEmpty)
+  }
+
+  test("scheduler: politeness budget never exceeded per host") {
+    val seeds = SyntheticCorpus.seedUrls(spark, 5000, pageCount = 1000)
+    val emptySeen = new SeenSet(tmpDir("s"), spark)
+    val sch = Scheduler.scheduleEpoch(seeds, emptySeen, None, budgetPerHost = 2)
+    val over = sch.groupBy(col("host")).count().filter(col("count") > 2).count()
+    assert(over === 0)
+    assert(sch.count() > 0)
+  }
+
+  test("scheduler: canonicalization collapses seed variants") {
+    val seeds = SyntheticCorpus.seedUrls(spark, 2000, pageCount = 100)
+    val n = Scheduler.normalize(seeds)
+    // every canonical url is a clean lowercase page url
+    val bad = n.filter(!col("canon_url").rlike("^http://site[0-9]+\\.example/page/[0-9]+$")).count()
+    assert(bad === 0)
+    // at most one row per canonical url
+    assert(n.groupBy("canon_url").count().filter(col("count") > 1).count() === 0)
+  }
+
+  case class Row3(canon: String, priority: Double, rank: Int)
+}
