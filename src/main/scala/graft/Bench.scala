@@ -1,24 +1,84 @@
 package graft
+
+import graft.crawl.CrawlEpoch
+import graft.gen.SyntheticCorpus
+
 import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+
+/** Benchmark main (driver contract): runs the operator queries on
+  * `SPARK_GRAFT_SF_DIR` plus one synthetic crawl epoch (the north-rule
+  * workload: schedule + fetch + decode + annotate), and prints ONE JSON line.
+  *
+  * Scaling evidence (BASELINE.md): run twice with SPARK_GRAFT_CPUS=8 and 32
+  * on the same inputs; efficiency = (T8/T32)/4 on the crawl throughput.
+  * Knobs: SPARK_GRAFT_CRAWL_N overrides the crawl corpus size,
+  * SPARK_GRAFT_SKIP_QUERIES=1 benches only the crawl epoch.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    graft.functions.GraftFunctions.register(spark)
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // --- operator query timings ---------------------------------------------
+    val queryTimes: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (_, secs) = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        }
+        name -> secs
+      }
+
+    // --- crawl epoch throughput (URLs scheduled+fetched/sec) -----------------
+    val sfFactor = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.01)
+    val nPages = sys.env.get("SPARK_GRAFT_CRAWL_N").map(_.toLong)
+      .getOrElse(math.max(2000L, (400000 * sfFactor).toLong))
+    val nImages = math.max(500L, nPages / 10)
+    val root = Files.createTempDirectory("bench-crawl").toString
+    // The corpus is INPUT (a stand-in for remote content + a fetched image
+    // store): materialize it before the timer so the measured number is
+    // engine throughput, not synthetic-HTML generation.
+    val pages = SyntheticCorpus.pages(spark, nPages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count()
+    val images = SyntheticCorpus.images(spark, nImages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nImagesReal = images.count()
+    val seeds = SyntheticCorpus.seedUrls(spark, nPages * 2, pageCount = nPages)
+    val robots = SyntheticCorpus.robots(spark)
+    CrawlEpoch.seed(root, spark, seeds)
+    val budget = math.max(100, (nPages / 8).toInt)
+    val (metrics, crawlSecs) = time {
+      CrawlEpoch.run(root, spark, pages, images, Some(robots),
+        budgetPerHost = budget, epoch = 1)
+    }
+    val urlsPerSec = metrics.scheduled / crawlSecs
+
+    val totalQuerySecs = queryTimes.map(_._2).sum
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"scheduled":${metrics.scheduled},"fetched":${metrics.fetched},"licensed":${metrics.licensed},"decode_ok":${metrics.decodeOk},"new_frontier":${metrics.newFrontier},"sec":$crawlSecs%.2f,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -239,7 +239,27 @@ object TextQueries {
       |FROM ranked WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  // --- formatter stages (P4-P6) over synthesized dirty text -----------------
+
+  def qFormatters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dirty = concat(
+      col("text"), lit(" contact user"), col("doc_id"),
+      lit("@mail"), col("doc_id") % 10, lit(".com or 10.0."),
+      col("doc_id") % 256, lit("."), (col("doc_id") * 7) % 256, lit(" now"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        graft.pipeline.Formatters.scrubPii(col("dirty")).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+  val qFormattersSql: String =
+    """SELECT doc_id,
+      |  text || ' contact <email> or <ip> now' AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_formatters" -> (qFormatters _),
     "q_token_count" -> (qTokenCount _),
     "q_quality" -> (qQuality _),
     "q_langid" -> (qLangid _),
@@ -252,6 +272,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_formatters" -> qFormattersSql,
     "q_token_count" -> qTokenCountSql,
     "q_quality" -> qQualitySql,
     "q_langid" -> qLangidSql,

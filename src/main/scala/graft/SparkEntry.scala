@@ -18,9 +18,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the license-annotation operator end-to-end (SURVEY §2.3 P1). */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q1Agg(spark, "/root/testdata/sf0.001")
+    Queries.qLicenseExtract(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

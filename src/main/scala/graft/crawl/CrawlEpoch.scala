@@ -69,16 +69,17 @@ object CrawlEpoch {
           col("fmt"), col("caption"), col("phash")),
         Seq("image_id"), "left")
       val imgSeed = substring(col("image_id"), 5, 8).cast("long")
-      val dims = GraftFunctions.decodeImageDims(col("bytes"))
+      // one decode per blob: fused check kernel (dims + phash + psnr)
+      val chk = GraftFunctions.imageCheck(col("bytes"), imgSeed, col("w"), col("h"))
       val annotated = withImage
         .withColumn("fetch_status", when(col("html").isNotNull, 200).otherwise(404))
-        .withColumn("decoded_w", dims.getField("w"))
-        .withColumn("decoded_h", dims.getField("h"))
+        .withColumn("__chk", when(col("bytes").isNotNull, chk))
+        .withColumn("decoded_w", col("__chk").getField("decoded_w"))
+        .withColumn("decoded_h", col("__chk").getField("decoded_h"))
         .withColumn("phash_ok",
-          when(col("bytes").isNotNull, GraftFunctions.phash64(col("bytes")) === col("phash")))
+          when(col("bytes").isNotNull, col("__chk").getField("phash") === col("phash")))
         .withColumn("pixels_ok",
-          when(col("bytes").isNotNull,
-            GraftFunctions.psnrVsPattern(col("bytes"), imgSeed, col("w"), col("h")) >= 40.0))
+          when(col("bytes").isNotNull, col("__chk").getField("psnr") >= 40.0))
         .withColumn("__lic", when(col("html").isNotNull,
           graft.functions.GraftFunctions.extractCcLicenses(col("html"))))
       val out = annotated.select(
@@ -96,7 +97,10 @@ object CrawlEpoch {
 
     // --- stage 3: seen-set update -------------------------------------------
     if (!new java.io.File(s"$stateRoot/seen/stages/e$epoch-seen").exists()) {
-      seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString))
+      val schedCount = schedTable.manifest(schedTable.currentSnapshotId.get)
+        .map(_.get("row_count").asLong)
+      seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString),
+        expectedAdds = schedCount)
       seen.table.markStage(epoch, "seen")
     }
 
@@ -111,19 +115,31 @@ object CrawlEpoch {
         .select(explode(GraftFunctions.extractLinks(col("html"))).as("url"))
         .withColumn("priority", lit(linkPriorityDecay))
       val backlog = frontier.read() // URLs not scheduled this epoch stay queued
+      // dedupe before committing: raw link lists are heavily duplicated, and
+      // the frontier write is the epoch's largest I/O — max-priority per URL
+      // (same rule Scheduler.normalize applies) shrinks it ~4x
       val next = backlog.select(col("url"), col("priority"))
         .unionByName(links)
+        .groupBy(col("url")).agg(max(col("priority")).as("priority"))
       frontier.commit(next, Map("epoch" -> epoch.toString, "stage" -> "frontier"))
       frontier.markStage(epoch, "frontier")
     }
 
-    val out = outTable.read()
+    // metrics: snapshot manifests carry row counts (no recount jobs); the
+    // out-table breakdown is ONE aggregate job
+    val outStats = outTable.read().agg(
+      count(when(col("fetch_status") === 200, 1)).as("fetched"),
+      count(when(col("license_abbr").isNotNull, 1)).as("licensed"),
+      count(when(col("pixels_ok") && col("phash_ok"), 1)).as("decode_ok")
+    ).collect()(0)
     EpochMetrics(
       epoch = epoch,
-      scheduled = scheduled.count(),
-      fetched = out.filter(col("fetch_status") === 200).count(),
-      licensed = out.filter(col("license_abbr").isNotNull).count(),
-      decodeOk = out.filter(col("pixels_ok") && col("phash_ok")).count(),
-      newFrontier = frontier.read().count())
+      scheduled = schedTable.manifest(schedTable.currentSnapshotId.get)
+        .map(_.get("row_count").asLong).getOrElse(0L),
+      fetched = outStats.getLong(0),
+      licensed = outStats.getLong(1),
+      decodeOk = outStats.getLong(2),
+      newFrontier = frontier.manifest(frontier.currentSnapshotId.get)
+        .map(_.get("row_count").asLong).getOrElse(0L))
   }
 }

@@ -46,15 +46,24 @@ final class SeenSet(root: String, spark: SparkSession) {
     }
 
   /** Add `urlHashes` (column `url_hash`) and commit a new snapshot + Bloom
-    * sidecar. Idempotent under replay: the union is distinct. */
-  def add(urlHashes: DataFrame, lineage: Map[String, String] = Map.empty): Long = {
+    * sidecar. Idempotent under replay: the union is distinct.
+    *
+    * @param expectedAdds upper bound on new keys (e.g. the scheduled-set
+    *        manifest count) — sizes the Bloom filter WITHOUT a count job;
+    *        overestimating only lowers the fpp.
+    */
+  def add(urlHashes: DataFrame, lineage: Map[String, String] = Map.empty,
+      expectedAdds: Option[Long] = None): Long = {
+    val prevCount = table.currentSnapshotId
+      .flatMap(id => table.manifest(id)).map(_.get("row_count").asLong).getOrElse(0L)
     val merged =
       (if (table.exists) table.read().select(col("url_hash")).unionByName(urlHashes.select(col("url_hash")))
        else urlHashes.select(col("url_hash"))).distinct()
     // one pass builds both the parquet and the bloom (cache to avoid rescan)
     merged.cache()
     try {
-      val n = math.max(1000L, merged.count())
+      val n = math.max(1000L,
+        expectedAdds.map(_ + prevCount).getOrElse(merged.count()))
       val bloom = merged.stat.bloomFilter("url_hash", n, 0.01)
       val id = table.commit(merged, lineage)
       val out = new ByteArrayOutputStream()

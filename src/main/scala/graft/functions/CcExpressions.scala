@@ -112,6 +112,55 @@ case class ExtractLinks(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (the composing half of the FTFY analog, P4). */
+case class NormalizeNfc(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_nfc"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.toString, java.text.Normalizer.Form.NFC))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Visible-text extraction from HTML (the Trafilatura-stage analog, P3):
+  * skips script/style/head/title/meta/link/noscript/template subtrees and
+  * comments, emits whitespace-normalized text with newlines at block-element
+  * boundaries. */
+case class ExtractVisibleText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "extract_visible_text"
+
+  private val blockTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "tr", "br", "figcaption", "section", "article", "header", "footer",
+    "blockquote", "pre", "nav", "table", "ul", "ol", "figure")
+  private val skipTags = Set("script", "style", "head", "title", "meta",
+    "link", "noscript", "template")
+
+  override def nullSafeEval(input: Any): Any = {
+    val root = graft.html.HtmlParser.parse(input.toString)
+    val sb = new StringBuilder
+    def walk(e: graft.html.HElem): Unit = e.children.foreach {
+      case t: graft.html.HText if !t.isComment => sb.append(t.text)
+      case el: graft.html.HElem if !skipTags.contains(el.name) =>
+        val block = blockTags.contains(el.name)
+        if (block) sb.append('\n')
+        walk(el)
+        if (block) sb.append('\n')
+      case _ => ()
+    }
+    walk(root)
+    val lines = sb.toString.split('\n').iterator
+      .map(_.split("(?U)\\s+").filter(_.nonEmpty).mkString(" "))
+      .filter(_.nonEmpty)
+    UTF8String.fromString(lines.mkString("\n"))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Percent-decode (Python `urllib.parse.unquote` semantics — no '+' → space). */
 case class UrlDecode(child: Expression)
     extends UnaryExpression with CodegenFallback {

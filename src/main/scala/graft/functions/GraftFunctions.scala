@@ -27,8 +27,11 @@ object GraftFunctions {
     "decode_image_dims" -> (es => DecodeImageDims(es.head)),
     "phash64" -> (es => PHash64(es.head)),
     "psnr_vs_pattern" -> (es => PsnrVsPattern(es(0), es(1), es(2), es(3))),
+    "image_check" -> (es => ImageCheck(es(0), es(1), es(2), es(3))),
     "image_feature_stub" -> (es => ImageFeatureStub(es.head)),
-    "extract_links" -> (es => ExtractLinks(es.head))
+    "extract_links" -> (es => ExtractLinks(es.head)),
+    "normalize_nfc" -> (es => NormalizeNfc(es.head)),
+    "extract_visible_text" -> (es => ExtractVisibleText(es.head))
   )
 
   @volatile private var registered: Set[SparkSession] = Set.empty
@@ -61,8 +64,12 @@ object GraftFunctions {
   def phash64(bytes: Column): Column = call_function("phash64", bytes)
   def psnrVsPattern(bytes: Column, seed: Column, w: Column, h: Column): Column =
     call_function("psnr_vs_pattern", bytes, seed, w, h)
+  def imageCheck(bytes: Column, seed: Column, w: Column, h: Column): Column =
+    call_function("image_check", bytes, seed, w, h)
   def imageFeatureStub(bytes: Column): Column = call_function("image_feature_stub", bytes)
   def extractLinks(html: Column): Column = call_function("extract_links", html)
+  def normalizeNfc(s: Column): Column = call_function("normalize_nfc", s)
+  def extractVisibleText(html: Column): Column = call_function("extract_visible_text", html)
 
   /** The 11 license metadata columns of the C5 schema from one extract-struct
     * column (the projection step of `license_annotator.py:53-71`), with

@@ -80,6 +80,32 @@ case class PsnrVsPattern(bytes: Expression, seed: Expression, w: Expression, h: 
     copy(bytes = a, seed = b, w = c, h = d)
 }
 
+/** One-decode image verification: (bytes, seed, w, h) →
+  * struct(decoded_w, decoded_h, phash, psnr) — the fused kernel for the crawl
+  * epoch's per-row invariant so each blob is decoded exactly once. */
+case class ImageCheck(bytes: Expression, seed: Expression, w: Expression, h: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = bytes
+  override def second: Expression = seed
+  override def third: Expression = w
+  override def fourth: Expression = h
+  override def dataType: DataType = StructType(Seq(
+    StructField("decoded_w", IntegerType),
+    StructField("decoded_h", IntegerType),
+    StructField("phash", LongType),
+    StructField("psnr", DoubleType)))
+  override def prettyName: String = "image_check"
+  override def nullSafeEval(b: Any, s: Any, wv: Any, hv: Any): Any =
+    ImageCodec.check(b.asInstanceOf[Array[Byte]], s.asInstanceOf[Long],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int]) match {
+      case Some((dw, dh, ph, ps)) => InternalRow(dw, dh, ph, ps)
+      case None => null
+    }
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(bytes = a, seed = b, w = c, h = d)
+}
+
 /** STUB — multimodal feature extraction beyond decode (object tags, audio
   * spectrograms, video frame sampling) would sit behind this same expression
   * shape; the container has no media ML libraries, so the feature vector is a

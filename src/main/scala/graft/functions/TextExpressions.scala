@@ -47,14 +47,20 @@ object TextHashing {
       Array.tabulate(ts.length - n + 1)(i => ts.slice(i, i + n).mkString(" "))
   }
 
+  // fixed universal-hash coefficients, computed once per JVM
+  private val MaxK = 256
+  private lazy val hashAs: Array[Long] = Array.tabulate(MaxK)(i => splitmix64(2L * i + 1) | 1L)
+  private lazy val hashBs: Array[Long] = Array.tabulate(MaxK)(i => splitmix64(2L * i))
+
   /** MinHash signature: k permutations via universal hashing
     * h_i(x) = a_i * fnv(x) + b_i with fixed seeded (a_i odd, b_i). */
   def minhashSig(text: String, k: Int, shingleSize: Int): Array[Long] = {
+    require(k <= MaxK)
     val sh = shingles(text, shingleSize)
     val sig = Array.fill(k)(Long.MaxValue)
     if (sh.isEmpty) return sig
-    val as = Array.tabulate(k)(i => splitmix64(2L * i + 1) | 1L)
-    val bs = Array.tabulate(k)(i => splitmix64(2L * i))
+    val as = hashAs
+    val bs = hashBs
     var j = 0
     while (j < sh.length) {
       val base = fnv1a64(sh(j))

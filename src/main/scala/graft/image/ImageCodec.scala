@@ -19,6 +19,12 @@ import graft.functions.TextHashing.splitmix64
   */
 object ImageCodec {
 
+  // ImageIO defaults to FILE-backed stream caches — every decode/encode
+  // creates and deletes a temp file, which serializes on the filesystem when
+  // 32 executor threads decode concurrently (measured: inverse scaling on
+  // local[8]→local[32]). Memory caching removes the shared resource.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Seeded smooth RGB pattern. */
   def pattern(seed: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -156,4 +162,16 @@ object ImageCodec {
   }
 
   def phashOfBytes(bytes: Array[Byte]): Long = phash64(decode(bytes))
+
+  /** One-decode verification kernel: (decoded_w, decoded_h, phash, psnr). */
+  def check(bytes: Array[Byte], seed: Long, w: Int, h: Int): Option[(Int, Int, Long, Double)] = {
+    val img = decode(bytes)
+    if (img == null) None
+    else {
+      val p =
+        if (img.getWidth == w && img.getHeight == h) psnr(pattern(seed, w, h), img)
+        else 0.0
+      Some((img.getWidth, img.getHeight, phash64(img), if (p.isInfinity) 999.0 else p))
+    }
+  }
 }

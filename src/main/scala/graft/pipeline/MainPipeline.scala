@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import graft.core.C5Schema
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's 11-step main pipeline re-expressed as one declarative
+  * DataFrame chain (`build_main_pipeline`, `script_utils.py:126-231`):
+  *
+  *   reader → URLFilter → CCTextFilter → LicenseAnnotator → LicenseFilter →
+  *   text extraction → LanguageFilter → FTFY → PII → SymbolLines → writer
+  *
+  * All eleven stages are narrow transformations — Catalyst fuses them into a
+  * single whole-stage-codegen'd pass over the scan, the columnar analog of
+  * the reference's generator chain (SURVEY §3.1). The only wide operations a
+  * crawl epoch adds are the deliberate ones (seen-set join, politeness
+  * window, partitioned write).
+  */
+object MainPipeline {
+
+  /** F5 `LanguageFilterWithIgnore` analog (`language_filter_with_ignore.py`):
+    * per-language score, argmax in fixed order, keep iff score strictly
+    * exceeds the language's threshold (defaultdict semantics: missing →
+    * default), annotate language/script/score. The glotlid model has no JVM
+    * twin; the scorer is the deterministic stopword-ratio heuristic with the
+    * same argmax/threshold/ignore semantics (SURVEY §7.5). */
+  final case class LangConfig(
+      thresholds: Map[String, Double] = Map("en" -> 0.10),
+      defaultThreshold: Double = 0.05)
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+    "es" -> Seq("el", "que", "de", "en", "los", "se", "del", "las", "por", "un"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "dat", "niet", "op", "te"))
+
+  def languageColumns(text: Column, cfg: LangConfig = LangConfig()): Seq[Column] = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = greatest(size(toks), lit(1))
+    def score(stops: Seq[String]): Column =
+      size(filter(toks, x => array_contains(array(stops.map(lit): _*), x))).cast("double") / n
+    val scores = langStops.map { case (l, s) => l -> score(s) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit(null).cast("string")) { case ((l, sc), rest) =>
+      // strict > threshold, first language in fixed order wins ties (:66-67)
+      when(sc === best && sc > cfg.thresholds.getOrElse(l, cfg.defaultThreshold), lit(l))
+        .otherwise(rest)
+    }
+    Seq(pick.as("language"),
+      scores.map { case (l, sc) => when(col("language") === l, sc) }
+        .reduce(coalesce(_, _)).as("language_score_raw"))
+  }
+
+  /** Run the annotation pipeline over a fetched-documents frame with columns
+    * (id, dump, url, date, file_path, html) → the exact C5 output schema.
+    *
+    * @param bannedDomains F1 `URLFilter` extra_domains (broadcast anti-set)
+    */
+  def annotate(fetched: DataFrame,
+      bannedDomains: Set[String] = Set.empty,
+      cfg: LangConfig = LangConfig()): DataFrame = {
+    val spark = fetched.sparkSession
+    GraftFunctions.register(spark)
+
+    // F1: URL filter on registered domain (broadcast set, SURVEY §2.4)
+    val banned = typedLit(bannedDomains.toSeq)
+    val urlFiltered =
+      if (bannedDomains.isEmpty) fetched
+      else fetched.filter(
+        !array_contains(banned, GraftFunctions.registeredDomain(col("url"))))
+
+    // F2: cheap gate BEFORE the expensive parse (R1 — kept explicit)
+    val gated = urlFiltered.filter(
+      contains(lower(col("html")), lit("creativecommons.org")))
+
+    // P1: license annotation
+    val lic = gated.withColumn("__lic",
+      GraftFunctions.extractCcLicenses(col("html")))
+
+    // F4: LicenseFilter — drop parse errors and no-license rows, with
+    // per-reason drop metrics (A7) via observe
+    val annotated = lic.select(col("*") +: GraftFunctions.licenseMetadataColumns(col("__lic")): _*)
+      .observe("license_filter",
+        count(when(col("license_parse_error"), 1)).as("dropped_parse_error"),
+        count(when(!col("license_parse_error") && col("license_abbr").isNull, 1))
+          .as("dropped_no_explicit_license"))
+      .filter(!col("license_parse_error") && col("license_abbr").isNotNull)
+
+    // P3: text extraction (visible text; Trafilatura-stage analog)
+    val withText = annotated.withColumn("text",
+      GraftFunctions.extractVisibleText(col("html")))
+
+    // F5: language filter + annotation
+    val langCols = languageColumns(col("text"), cfg)
+    val withLang = withText
+      .withColumn("language", langCols.head)
+      .withColumn("language_score",
+        round(coalesce(langCols(1), lit(0.0)), 6))
+      .filter(col("language").isNotNull) // no_language_above_its_threshold
+      // all five heuristic languages are Latin-script; the reference's
+      // `{language}_{language_script}` convention is preserved
+      .withColumn("language_script", lit("Latn"))
+
+    // P4-P6: formatters
+    val formatted = withLang.withColumn("text",
+      Formatters.stripSymbolLines(Formatters.scrubPii(Formatters.fixText(col("text")))))
+
+    // Exact C5 column set + order (script_utils.py:285-323)
+    formatted.select(
+      col("text"), col("id"), col("dump"), col("url"), col("date"), col("file_path"),
+      col("license_abbr"), col("license_version"), col("license_location"),
+      col("license_in_head"), col("license_in_footer"), col("license_element"),
+      col("license_left_context"), col("license_right_context"),
+      col("potential_licenses"),
+      col("license_parse_error"), col("license_disagreement"),
+      col("language_script"), col("language"), col("language_score"),
+      lit(null).cast("boolean").as("found_in_fw"))
+  }
+
+  /** J1: FineWeb containment backfill — broadcast-or-shuffled left join with
+    * IS NOT NULL flag; `overwriteWithNone` reproduces the recency gate's
+    * constant-fold (R6: skip all join work for ignored crawls). */
+  def withContainment(c5: DataFrame, seenKeys: DataFrame,
+      overwriteWithNone: Boolean): DataFrame =
+    if (overwriteWithNone)
+      c5.withColumn("found_in_fw", lit(null).cast("boolean"))
+    else {
+      val keys = seenKeys.select(col("dump").as("__d"), col("id").as("__i")).distinct()
+      c5.drop("found_in_fw")
+        .join(keys, col("dump") === col("__d") && col("id") === col("__i"), "left")
+        .withColumn("found_in_fw", col("__i").isNotNull)
+        .drop("__d", "__i")
+    }
+
+  /** K1/K3 sink: language-partitioned write (`${language}_${language_script}`
+    * directories, `script_utils.py:227-230`) as native partitioned parquet. */
+  def write(c5: DataFrame, outDir: String, format: String = "parquet"): Unit = {
+    val withPart = c5.withColumn("lang_dir",
+      concat(col("language"), lit("_"), col("language_script")))
+    val w = withPart.write.mode("overwrite").partitionBy("lang_dir")
+    format match {
+      case "parquet" => w.option("compression", "zstd").parquet(outDir)
+      case "json" => w.option("compression", "gzip").json(outDir)
+    }
+  }
+}

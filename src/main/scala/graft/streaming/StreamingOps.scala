@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming operators (SURVEY §1.4) — its incremental
+  * behavior is resumable batch. The engine therefore treats batch epochs as
+  * primary, but exposes the two streaming shapes a continuous crawl needs:
+  *
+  *  1. an incremental frontier: `readStream` over the frontier snapshot
+  *     directory, per-host politeness enforced ACROSS micro-batches with
+  *     `flatMapGroupsWithState` (the stateful analog of the epoch window),
+  *  2. watermarked event-time aggregation over the crawl metrics stream.
+  */
+object StreamingOps {
+
+  final case class FrontierRow(url: String, host: String, priority: Double)
+  final case class HostBudgetState(emitted: Long)
+  final case class ScheduledRow(url: String, host: String, priority: Double, hostSlot: Long)
+
+  /** Per-host lifetime cap enforced statefully across micro-batches: each
+    * host emits at most `budgetPerHost` rows over the stream's lifetime,
+    * highest priority first within each batch (deterministic tiebreak on
+    * url). State is just one counter per host — O(hosts) not O(urls). */
+  def politenessStream(frontier: Dataset[FrontierRow], budgetPerHost: Long): Dataset[ScheduledRow] = {
+    import frontier.sparkSession.implicits._
+    frontier
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostBudgetState, ScheduledRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (host, rows, state: GroupState[HostBudgetState]) =>
+          val emitted = state.getOption.map(_.emitted).getOrElse(0L)
+          val take = math.max(0L, budgetPerHost - emitted)
+          val chosen = rows.toSeq
+            .sortBy(r => (-r.priority, r.url))
+            .take(take.toInt)
+            .zipWithIndex
+            .map { case (r, i) => ScheduledRow(r.url, host, r.priority, emitted + i + 1) }
+          state.update(HostBudgetState(emitted + chosen.size))
+          chosen.iterator
+      }
+  }
+
+  /** Watermarked sliding-window counts over an event stream (ts, event_type)
+    * — late data beyond the watermark is dropped, state is bounded. */
+  def windowedEventCounts(events: DataFrame, windowDur: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** File-source incremental frontier: stream new snapshot files as they are
+    * committed; `Trigger.AvailableNow` turns this into exactly the batch
+    * epoch when drained. */
+  def frontierFileStream(spark: SparkSession, frontierDataDir: String): DataFrame =
+    spark.readStream
+      .schema("url STRING, priority DOUBLE")
+      .parquet(frontierDataDir + "/data/*")
+}

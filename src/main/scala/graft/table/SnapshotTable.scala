@@ -64,12 +64,13 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir.toString)
 
-    // per-partition (per-file) lineage & metrics from the committed files
-    val written = spark.read.parquet(dir.toString)
-    val rowCount = written.count()
+    // per-partition (per-file) lineage & metrics straight from the parquet
+    // footers — a driver-side metadata read, not a Spark job (the commit path
+    // is on the serial critical path of every epoch)
     val files = Files.walk(dir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
+    val rowCount = files.map(footerRowCount).sum
 
     val m: ObjectNode = mapper.createObjectNode()
     m.put("snapshot_id", id)
@@ -90,6 +91,14 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     Files.move(curTmp, snapDir.resolve("current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     id
+  }
+
+  private def footerRowCount(path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
   }
 
   /** Read the current snapshot (empty schema-less failure if none). */

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{FrontierRow, ScheduledRow}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpecBase {
+
+  test("politeness state holds across micro-batches (per-host lifetime budget)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FrontierRow]
+    val scheduled = StreamingOps.politenessStream(input.toDS(), budgetPerHost = 3)
+    val q = scheduled.writeStream
+      .format("memory").queryName("sched_stream")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: host a gets 5 candidates → only 3 emitted
+      input.addData((1 to 5).map(i => FrontierRow(s"http://a/$i", "a", i.toDouble)): _*)
+      q.processAllAvailable()
+      // batch 2: host a gets more → 0 emitted (budget exhausted); host b → 2
+      input.addData(FrontierRow("http://a/9", "a", 9.0),
+        FrontierRow("http://b/1", "b", 1.0), FrontierRow("http://b/2", "b", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("sched_stream").as[ScheduledRow].collect()
+      val aRows = rows.filter(_.host == "a")
+      assert(aRows.length === 3)
+      // highest priority first within the first batch
+      assert(aRows.map(_.url).toSet === Set("http://a/5", "http://a/4", "http://a/3"))
+      assert(rows.count(_.host == "b") === 2)
+      assert(aRows.map(_.hostSlot).sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts over an event stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val counts = StreamingOps.windowedEventCounts(events, "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(11), "view"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData((ts(40), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
+      assert(rows.contains(("click", 2L))) // 10:00-10:10 window closed with 2 clicks
+      assert(rows.contains(("view", 1L)))
+    } finally q.stop()
+  }
+}
