@@ -21,13 +21,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Shuffle/spill + bench state live on tmpfs: this sandbox has ONE shared
+    // virtual disk, so at high thread counts disk contention — not the engine
+    // — caps scaling. A real cluster's local SSDs scale with node count; the
+    // RAM disk is the honest local stand-in for that.
+    val shmBase = {
+      val p = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(p)) "/dev/shm/graft-bench" else null
+    }
+    if (shmBase != null) java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shmBase))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (shmBase != null) builder.config("spark.local.dir", shmBase)
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
@@ -53,8 +63,11 @@ object Bench {
       .map(_.group(1).toDouble).getOrElse(0.01)
     val nPages = sys.env.get("SPARK_GRAFT_CRAWL_N").map(_.toLong)
       .getOrElse(math.max(2000L, (400000 * sfFactor).toLong))
-    val nImages = math.max(500L, nPages / 10)
-    val root = Files.createTempDirectory("bench-crawl").toString
+    val nImages = math.max(500L, nPages / 4)
+    val root =
+      if (shmBase != null) Files.createTempDirectory(
+        java.nio.file.Paths.get(shmBase), "bench-crawl").toString
+      else Files.createTempDirectory("bench-crawl").toString
     // The corpus is INPUT (a stand-in for remote content + a fetched image
     // store): materialize it before the timer so the measured number is
     // engine throughput, not synthetic-HTML generation.

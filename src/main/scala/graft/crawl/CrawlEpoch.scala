@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object CrawlEpoch {
 
+  /** Small dedicated pool for the concurrent epoch stages (Spark actions are
+    * driver-blocking; three suffice). Daemon threads: the pool must not keep
+    * the JVM alive after main returns. */
+  private lazy val stageEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+        val t = new Thread(r, "graft-epoch-stage")
+        t.setDaemon(true)
+        t
+      }))
+
   final case class EpochMetrics(
       epoch: Long,
       scheduled: Long,
@@ -51,16 +62,28 @@ object CrawlEpoch {
     val schedTable = new SnapshotTable(s"$stateRoot/scheduled", spark)
     val outTable = new SnapshotTable(s"$stateRoot/out", spark)
 
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        System.err.println(f"[epoch $epoch] $name%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+
     // --- stage 1: schedule ---------------------------------------------------
-    if (!schedTable.stageDone(epoch, "scheduled")) {
+    if (!schedTable.stageDone(epoch, "scheduled")) timed("schedule") {
       val sch = Scheduler.scheduleEpoch(frontier.read(), seen, robots, budgetPerHost)
       schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
       schedTable.markStage(epoch, "scheduled")
     }
     val scheduled = schedTable.read()
 
+    // Stages 2 (out), 3 (seen) and 4 (frontier) depend only on the committed
+    // schedule + static corpus tables — run them as CONCURRENT Spark jobs so
+    // the epoch's wall clock is schedule + max(2,3,4), not the sum, and tasks
+    // from one stage fill cores the others leave idle.
     // --- stage 2: fetch + decode + annotate → out ---------------------------
-    if (!outTable.stageDone(epoch, "out")) {
+    def runOutStage(): Unit = if (!outTable.stageDone(epoch, "out")) {
       val fetched = scheduled.join(
         pages.withColumnsRenamed(Map("url" -> "page_url")),
         scheduled("canon_url") === col("page_url"), "left")
@@ -96,16 +119,17 @@ object CrawlEpoch {
     }
 
     // --- stage 3: seen-set update -------------------------------------------
-    if (!new java.io.File(s"$stateRoot/seen/stages/e$epoch-seen").exists()) {
-      val schedCount = schedTable.manifest(schedTable.currentSnapshotId.get)
-        .map(_.get("row_count").asLong)
-      seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString),
-        expectedAdds = schedCount)
-      seen.table.markStage(epoch, "seen")
-    }
+    def runSeenStage(): Unit =
+      if (!new java.io.File(s"$stateRoot/seen/stages/e$epoch-seen").exists()) {
+        val schedCount = schedTable.manifest(schedTable.currentSnapshotId.get)
+          .map(_.get("row_count").asLong)
+        seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString),
+          expectedAdds = schedCount)
+        seen.table.markStage(epoch, "seen")
+      }
 
     // --- stage 4: next frontier (discovered links + unscheduled backlog) ----
-    if (!frontier.stageDone(epoch, "frontier")) {
+    def runFrontierStage(): Unit = if (!frontier.stageDone(epoch, "frontier")) {
       // html is not persisted in the output snapshot; re-derive links from
       // the fetch corpus via a semi join on the scheduled set (narrow scan)
       val fetchedPages = pages.join(
@@ -123,6 +147,21 @@ object CrawlEpoch {
         .groupBy(col("url")).agg(max(col("priority")).as("priority"))
       frontier.commit(next, Map("epoch" -> epoch.toString, "stage" -> "frontier"))
       frontier.markStage(epoch, "frontier")
+    }
+
+    // Stages 2-4 depend only on the committed schedule + static corpus
+    // tables: run them as CONCURRENT Spark jobs, so epoch wall clock is
+    // schedule + max(2,3,4) instead of the sum, and one stage's tasks fill
+    // cores another leaves idle. Resume markers stay per-stage.
+    {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = CrawlEpoch.stageEc
+      Await.result(Future.sequence(Seq(
+        Future(timed("out")(runOutStage())),
+        Future(timed("seen")(runSeenStage())),
+        Future(timed("frontier")(runFrontierStage())))),
+        Duration.Inf)
     }
 
     // metrics: snapshot manifests carry row counts (no recount jobs); the

@@ -59,10 +59,13 @@ object Dedup {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
     val rows = numHashes / bands
+    // signatures feed three plan branches (banding + both verify sides):
+    // persist so the k×shingles hashing runs once per row, not three times
     val sigs = df.select(
       col(idCol).as("id"),
       GraftFunctions.minhashSig(col(textCol)).as("sig"),
       shingleSet(col(textCol), shingleSize).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band j = hash of signature slice [j*rows, (j+1)*rows)
     val banded = sigs.select(col("id"), col("toks"), posexplode(
@@ -111,6 +114,7 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"),
       GraftFunctions.simhash64(col(textCol)).as("sig"),
       shingleSet(col(textCol), shingleSize).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"), posexplode(array(
       (0 until 4).map(j =>
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
