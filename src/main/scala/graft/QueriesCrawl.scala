@@ -136,13 +136,58 @@ object CrawlQueries {
       |FROM documents WHERE doc_id < 200
       |ORDER BY doc_id""".stripMargin
 
+  // --- WARC source round-trip (S1 RetryWarcReader analog) ----------------------
+
+  /** Deterministic WARC fixtures from `documents` (4 gzip files sharded by
+    * doc_id%4, one response record per doc), then the distributed
+    * binaryFile+parse read — the oracle states every field from `documents`
+    * directly, so header parsing, gzip, sharding and the record walk are all
+    * differentially checked. */
+  def qWarcRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.WarcSource
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val warcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-warc-${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(warcDir)
+    (0 until 4).foreach { shard =>
+      val recs = docs.filter(_._1 % 4 == shard).map { case (id, text) =>
+        WarcSource.WarcRecord(
+          file_path = "",
+          record_id = s"<urn:uuid:doc-$id>",
+          warc_type = "response",
+          target_uri = s"http://docs.example/$id",
+          warc_date = "2024-03-01T00:00:00Z",
+          content = text)
+      }
+      java.nio.file.Files.write(warcDir.resolve(s"shard$shard.warc.gz"),
+        WarcSource.warcGzBytes(recs.toIndexedSeq))
+    }
+    WarcSource.read(s, warcDir.toString)
+      .select(
+        regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("bigint").as("doc_id"),
+        col("record_id"), col("target_uri"),
+        length(col("content")).as("content_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qWarcReadSql: String =
+    """SELECT doc_id,
+      |  '<urn:uuid:doc-' || doc_id || '>' AS record_id,
+      |  'http://docs.example/' || doc_id AS target_uri,
+      |  CAST(length(text) AS INT) AS content_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_warc_read" -> (qWarcRead _),
     "q_frontier_schedule" -> (qFrontierSchedule _),
     "q_url_host_domain" -> (qUrlHostDomain _),
     "q_image_roundtrip" -> (qImageRoundtrip _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_warc_read" -> qWarcReadSql,
     "q_frontier_schedule" -> qFrontierScheduleSql,
     "q_url_host_domain" -> qUrlHostDomainSql,
     "q_image_roundtrip" -> qImageRoundtripSql
