@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: measured 30-45% faster than G1 on this batch
+  // workload at local[32] (see BASELINE.md "Measured results")
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

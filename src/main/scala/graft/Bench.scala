@@ -62,8 +62,9 @@ object Bench {
     val sfFactor = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.01)
     val nPages = sys.env.get("SPARK_GRAFT_CRAWL_N").map(_.toLong)
-      .getOrElse(math.max(2000L, (400000 * sfFactor).toLong))
-    val nImages = math.max(500L, nPages / 4)
+      .getOrElse(math.max(2000L, (4000000 * sfFactor).toLong))
+    val nImages = math.max(500L,
+      nPages / sys.env.getOrElse("SPARK_GRAFT_IMG_DIV", "10").toLong)
     val root =
       if (shmBase != null) Files.createTempDirectory(
         java.nio.file.Paths.get(shmBase), "bench-crawl").toString

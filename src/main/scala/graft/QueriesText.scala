@@ -214,6 +214,32 @@ object TextQueries {
        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
        |ORDER BY a_id""".stripMargin
 
+  // --- embedding-cosine near-duplicate pairs --------------------------------
+  // Exact all-pairs here (the oracle must be exhaustive); the sub-quadratic
+  // scale path is the RHP-bucketed variant (Ann.lshTopK, DedupAnnSpec).
+
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(Ann.cosine(col("av"), col("bv")), 4).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val qDedupEmbeddingSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a_id, b_id, cos FROM (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+      |WHERE cos >= 0.9
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- brute-force cosine top-k over embeddings ----------------------------
 
   def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
@@ -268,7 +294,8 @@ object TextQueries {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
-    "q_ann_topk" -> (qAnnTopk _)
+    "q_ann_topk" -> (qAnnTopk _),
+    "q_dedup_embedding" -> (qDedupEmbedding _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -281,6 +308,7 @@ object TextQueries {
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
-    "q_ann_topk" -> qAnnTopkSql
+    "q_ann_topk" -> qAnnTopkSql,
+    "q_dedup_embedding" -> qDedupEmbeddingSql
   )
 }

@@ -1,0 +1,53 @@
+package graft.app
+
+import graft.crawl.CrawlEpoch
+import graft.gen.SyntheticCorpus
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point: run (or resume) a multi-epoch crawl against the
+  * synthetic corpus, with all state snapshot-committed under `--state`.
+  *
+  * {{{
+  *   spark-submit --class graft.app.CrawlMain <jar> \
+  *     --state /data/crawl --pages 1000000 --images 100000 \
+  *     --seeds 2000000 --budget 125000 --epochs 3
+  * }}}
+  *
+  * Re-invoking with the same `--state` resumes: completed epochs (and
+  * completed stages inside a killed epoch) are skipped via markers.
+  * On a real deployment the corpus tables would be Iceberg/parquet paths
+  * instead of the generator (swap `pages`/`images` for `spark.read`).
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val state = opts.getOrElse("--state", sys.error("--state required"))
+    val nPages = opts.getOrElse("--pages", "100000").toLong
+    val nImages = opts.getOrElse("--images", (nPages / 10).toString).toLong
+    val nSeeds = opts.getOrElse("--seeds", (nPages * 2).toString).toLong
+    val budget = opts.getOrElse("--budget", math.max(100, nPages / 8).toString).toInt
+    val epochs = opts.getOrElse("--epochs", "1").toInt
+
+    val spark = SparkSession.builder()
+      .appName("graft-crawl")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pages = SyntheticCorpus.pages(spark, nPages)
+    val images = SyntheticCorpus.images(spark, nImages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val robots = SyntheticCorpus.robots(spark)
+
+    if (!CrawlEpoch.frontierTable(state, spark).exists)
+      CrawlEpoch.seed(state, spark, SyntheticCorpus.seedUrls(spark, nSeeds, nPages))
+
+    (1 to epochs).foreach { e =>
+      val m = CrawlEpoch.run(state, spark, pages, images, Some(robots), budget, e)
+      println(s"epoch $e: scheduled=${m.scheduled} fetched=${m.fetched} " +
+        s"licensed=${m.licensed} decodeOk=${m.decodeOk} frontier=${m.newFrontier}")
+    }
+    spark.stop()
+  }
+}

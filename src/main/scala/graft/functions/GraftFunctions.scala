@@ -31,7 +31,8 @@ object GraftFunctions {
     "image_feature_stub" -> (es => ImageFeatureStub(es.head)),
     "extract_links" -> (es => ExtractLinks(es.head)),
     "normalize_nfc" -> (es => NormalizeNfc(es.head)),
-    "extract_visible_text" -> (es => ExtractVisibleText(es.head))
+    "extract_visible_text" -> (es => ExtractVisibleText(es.head)),
+    "vec_dot" -> (es => VecDot(es(0), es(1)))
   )
 
   @volatile private var registered: Set[SparkSession] = Set.empty
@@ -70,6 +71,7 @@ object GraftFunctions {
   def extractLinks(html: Column): Column = call_function("extract_links", html)
   def normalizeNfc(s: Column): Column = call_function("normalize_nfc", s)
   def extractVisibleText(html: Column): Column = call_function("extract_visible_text", html)
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** The 11 license metadata columns of the C5 schema from one extract-struct
     * column (the projection step of `license_annotator.py:53-71`), with

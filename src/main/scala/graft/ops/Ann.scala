@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Sequential-fold dot product (index order — deterministic and identical
-    * to a C++ loop, so oracle engines agree bit-for-bit). */
+  /** Sequential dot product (index order — deterministic and identical to a
+    * C++ loop, so oracle engines agree bit-for-bit). Tight-loop expression;
+    * needs GraftFunctions.register on the session (all entry points do). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vecDot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -36,6 +37,7 @@ object Ann {
       vecCol: String,
       qidCol: String,
       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("c_vec"))
     val q = queries.select(col(qidCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
@@ -75,6 +77,7 @@ object Ann {
       dim: Int,
       nBits: Int,
       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("c_vec"))
       .withColumn("bucket", rhpSignature(col("c_vec"), dim, nBits))
