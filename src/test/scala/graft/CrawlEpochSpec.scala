@@ -57,6 +57,26 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(sch1.intersect(sch2).isEmpty, "an already-crawled URL was rescheduled")
   }
 
+  test("two-epoch crawl: identical outputs and final seen-set across parallelism") {
+    val (pages, images, seeds, robots) = corpus()
+    def runAt(shuffleParts: Int, root: String): (Seq[String], Seq[Long]) = {
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
+      try {
+        CrawlEpoch.seed(root, spark, seeds.repartition(shuffleParts))
+        CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+        CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 2)
+        val seen = new graft.frontier.SeenSet(s"$root/seen", spark)
+          .keys().collect().map(_.getLong(0)).sorted.toSeq
+        (outSorted(root), seen)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+    val a = runAt(3, Files.createTempDirectory("crawlP1").toString)
+    val b = runAt(16, Files.createTempDirectory("crawlP2").toString)
+    assert(a._2 === b._2, "final URL-seen set differs across parallelism")
+    assert(a._1 === b._1, "crawl outputs differ across parallelism")
+    assert(a._2.nonEmpty)
+  }
+
   test("mid-epoch resume: pre-completed schedule stage is not redone and output matches a clean run") {
     val (pages, images, seeds, robots) = corpus()
     val rootA = Files.createTempDirectory("crawlB1").toString
