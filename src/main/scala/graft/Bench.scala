@@ -51,6 +51,8 @@ object Bench {
     val queryTimes: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        if (name == "q1_agg") // JVM/codegen warmup so the first query isn't charged for it
+          try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
         val (_, secs) = time {
           try fn(spark, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
