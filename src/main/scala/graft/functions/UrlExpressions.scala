@@ -113,12 +113,18 @@ object UrlNormalize {
     else lastTwo
   }
 
+  // one digest per thread: MessageDigest.getInstance does a provider lookup
+  // and allocation per call, measurable at frontier rates
+  private val sha256Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
   /** 64-bit key for the seen-set: first 8 bytes (big-endian) of SHA-256 of the
     * canonical URL. Stable across JVMs/partitions; collision odds at 10^10
     * keys ≈ 10^10²/2^65 ≈ 0.3% for one collision anywhere — the seen-set join
     * also carries the canonical URL for exactness. */
   def urlHash64(canonicalUrl: String): Long = {
-    val md = MessageDigest.getInstance("SHA-256")
+    val md = sha256Local.get()
+    md.reset()
     val d = md.digest(canonicalUrl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 0

@@ -43,6 +43,16 @@ object LicenseFinder {
 
   private val WsSplit = Pattern.compile("\\s+", Pattern.UNICODE_CHARACTER_CLASS)
 
+  private def containsIgnoreCaseFast(hay: String, needleLower: String): Boolean = {
+    val max = hay.length - needleLower.length
+    var i = 0
+    while (i <= max) {
+      if (hay.regionMatches(true, i, needleLower, 0, needleLower.length)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Percent-decode like Python `urllib.parse.unquote`: decodes %XX byte
     * sequences as UTF-8, leaves '+' and malformed escapes untouched. */
   def percentDecode(s: String): String = {
@@ -204,8 +214,10 @@ object LicenseFinder {
     */
   def findCcLicensesInHtml(html: String, contextNumChars: Int = 150): List[CcLicense] = {
     // Cheap gate before any parsing (`:184-187`) — also the explicit upstream
-    // filter CCTextFilter (SURVEY §2.4 F2) so plans keep it ahead of this call.
-    if (!html.toLowerCase.contains("creativecommons.org")) return Nil
+    // filter CCTextFilter (SURVEY §2.4 F2) so plans keep it ahead of this
+    // call. Allocation-free case-insensitive scan: this runs on EVERY page
+    // and a full toLowerCase would copy ~1 KB per document.
+    if (!containsIgnoreCaseFast(html, "creativecommons.org")) return Nil
 
     val trimmed = html.trim
     if (!trimmed.contains('<') &&
