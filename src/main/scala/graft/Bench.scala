@@ -84,11 +84,15 @@ object Bench {
     val robots = SyntheticCorpus.robots(spark)
     CrawlEpoch.seed(root, spark, seeds)
     val budget = math.max(100, (nPages / 8).toInt)
-    val (metrics, crawlSecs) = time {
-      CrawlEpoch.run(root, spark, pages, images, Some(robots),
-        budgetPerHost = budget, epoch = 1)
+    val nEpochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "1").toInt
+    val (metricsSeq, crawlSecs) = time {
+      (1 to nEpochs).map(e =>
+        CrawlEpoch.run(root, spark, pages, images, Some(robots),
+          budgetPerHost = budget, epoch = e))
     }
-    val urlsPerSec = metrics.scheduled / crawlSecs
+    val metrics = metricsSeq.head
+    val totalScheduled = metricsSeq.map(_.scheduled).sum
+    val urlsPerSec = totalScheduled / crawlSecs
 
     val totalQuerySecs = queryTimes.map(_._2).sum
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

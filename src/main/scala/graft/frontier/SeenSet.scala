@@ -76,6 +76,19 @@ final class SeenSet(root: String, spark: SparkSession) {
     } finally merged.unpersist()
   }
 
+  /** Roll the seen set back to an earlier snapshot (epoch rollback). The
+    * Bloom sidecar is per-snapshot, so the pointer flip restores the exact
+    * earlier filter too — deletion without tombstones. The [[CuckooFilter]]
+    * covers the finer-grained path (delete individual keys inside a running
+    * epoch before any snapshot exists). */
+  def rollbackTo(snapshotId: Long): Unit = {
+    require(table.manifest(snapshotId).isDefined, s"no snapshot $snapshotId")
+    val curTmp = java.nio.file.Paths.get(root, "snapshots", "current.tmp")
+    Files.write(curTmp, snapshotId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(curTmp, java.nio.file.Paths.get(root, "snapshots", "current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Rows of `frontier` whose `url_hash` is NOT in the seen set. */
   def filterUnseen(frontier: DataFrame): DataFrame = {
     if (isEmpty) return frontier

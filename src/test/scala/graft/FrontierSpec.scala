@@ -69,6 +69,22 @@ class FrontierSpec extends SparkSpecBase {
     assert(seen.keys().count() === 5000L)
   }
 
+  test("seen set: rollback restores earlier membership exactly") {
+    import spark.implicits._
+    val root = tmpDir("seenrb")
+    val seen = new SeenSet(root, spark)
+    seen.add((0L until 100L).toDF("url_hash"))
+    val v1 = seen.table.currentSnapshotId.get
+    seen.add((100L until 200L).toDF("url_hash"))
+    assert(seen.keys().count() === 200)
+    seen.rollbackTo(v1)
+    assert(seen.keys().count() === 100)
+    // rolled-back keys schedule again; retained keys stay deduped
+    val unseen = seen.filterUnseen((0L until 200L).toDF("url_hash"))
+      .as[Long].collect().sorted.toSeq
+    assert(unseen === (100L until 200L).toSeq)
+  }
+
   // --- scheduler determinism + politeness -------------------------------------
 
   test("scheduler: identical schedule at different parallelism and partitioning") {

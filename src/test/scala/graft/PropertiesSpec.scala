@@ -73,6 +73,22 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("license finder is lenient: arbitrary markup never throws (R3)") {
+    val junkGen = for {
+      pieces <- Gen.listOf(Gen.oneOf(
+        Gen.alphaNumStr,
+        Gen.oneOf("<", ">", "</", "<!--", "-->", "\"", "'", "=", "<a href=",
+          "creativecommons.org", "<meta name=license", "<script type=\"application/ld+json\">",
+          "{\"license\":", "</script>", "<div class=", "&amp;", "%2F", "<<<>>>")))
+    } yield pieces.mkString(" ")
+    check(Prop.forAll(junkGen) { s =>
+      // the only designed throw is the bare-locator path, which requires a
+      // whitespace-free input; these always contain spaces between pieces
+      val input = "x " + s
+      LicenseFinder.findCcLicensesInHtml(input) != null
+    })
+  }
+
   test("sortLicenses is stable and a permutation") {
     import graft.html.CcLicense
     val licGen = for {
