@@ -82,11 +82,21 @@ object CrawlEpoch {
     // schedule + static corpus tables — run them as CONCURRENT Spark jobs so
     // the epoch's wall clock is schedule + max(2,3,4), not the sum, and tasks
     // from one stage fill cores the others leave idle.
+    // Fetch joins key on the 64-bit url hash instead of the URL string: the
+    // epoch's widest shuffle then sorts/hashes longs, not ~40-char strings.
+    // Exactness is kept by re-checking string equality after the hash match
+    // (a hash collision yields a dropped match, never a wrong one).
+    lazy val pagesHashed = pages
+      .withColumnsRenamed(Map("url" -> "page_url"))
+      .withColumn("page_hash", GraftFunctions.urlHash64(col("page_url")))
+
     // --- stage 2: fetch + decode + annotate → out ---------------------------
     def runOutStage(): Unit = if (!outTable.stageDone(epoch, "out")) {
       val fetched = scheduled.join(
-        pages.withColumnsRenamed(Map("url" -> "page_url")),
-        scheduled("canon_url") === col("page_url"), "left")
+        pagesHashed,
+        scheduled("url_hash") === col("page_hash") &&
+          scheduled("canon_url") === col("page_url"), "left")
+        .drop("page_hash")
       val withImage = fetched.join(
         images.select(col("image_id"), col("bytes"), col("w"), col("h"),
           col("fmt"), col("caption"), col("phash")),
@@ -131,10 +141,12 @@ object CrawlEpoch {
     // --- stage 4: next frontier (discovered links + unscheduled backlog) ----
     def runFrontierStage(): Unit = if (!frontier.stageDone(epoch, "frontier")) {
       // html is not persisted in the output snapshot; re-derive links from
-      // the fetch corpus via a semi join on the scheduled set (narrow scan)
-      val fetchedPages = pages.join(
-        scheduled.select(col("canon_url")),
-        pages("url") === col("canon_url"), "left_semi")
+      // the fetch corpus via a semi join on the scheduled set (narrow scan,
+      // hash-keyed like the fetch join)
+      val fetchedPages = pagesHashed.join(
+        scheduled.select(col("url_hash"), col("canon_url")),
+        col("page_hash") === col("url_hash") && col("page_url") === col("canon_url"),
+        "left_semi")
       val links = fetchedPages
         .select(explode(GraftFunctions.extractLinks(col("html"))).as("url"))
         .withColumn("priority", lit(linkPriorityDecay))

@@ -46,6 +46,60 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic trainless IVF: `nCells` seeded pseudo-random unit-ish
+    * centroids; every corpus vector lands in its nearest cell, queries probe
+    * the `nProbe` nearest cells. No fitted model object — centroids are a
+    * pure function of (seed, cell, dim), identical on every executor. */
+  def ivfCentroid(cell: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      val h = graft.functions.TextHashing.splitmix64(cell.toLong * 7919L + d + 1)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  private def cellScores(vec: Column, dim: Int, nCells: Int): Column = {
+    val cents = array((0 until nCells).map(c => array(ivfCentroid(c, dim).map(lit): _*)): _*)
+    transform(cents, c => dot(c, vec))
+  }
+
+  /** Nearest-centroid cell id for a (double-array) vector column. */
+  def ivfCell(vec: Column, dim: Int, nCells: Int): Column =
+    array_position(cellScores(vec, dim, nCells),
+      array_max(cellScores(vec, dim, nCells))) - 1
+
+  /** Top-`nProbe` cell ids for a query vector (by centroid dot product). */
+  def ivfProbeCells(vec: Column, dim: Int, nCells: Int, nProbe: Int): Column = {
+    val scored = transform(sequence(lit(0), lit(nCells - 1)),
+      c => struct(element_at(cellScores(vec, dim, nCells), c + 1).as("s"), c.as("cell")))
+    slice(reverse(array_sort(scored)), 1, nProbe).getField("cell")
+  }
+
+  /** IVF ANN: corpus bucketed once by nearest centroid; each query probes
+    * only its `nProbe` nearest cells. The corpus-side `ivfCell` is the
+    * partition key at scale (write bucketed/partitioned by cell → a probe
+    * reads nProbe/nCells of the data). */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      dim: Int,
+      nCells: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("cell", ivfCell(col("c_vec"), dim, nCells))
+    val q = queries.select(col(qidCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell", explode(ivfProbeCells(col("q_vec"), dim, nCells, nProbe)))
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("q_id"), col("nn_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
     * Hyperplanes are fixed seeded pseudo-random vectors (splitmix64 stream),
     * identical on every executor — no fitted model object to ship. */

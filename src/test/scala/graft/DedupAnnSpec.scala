@@ -92,6 +92,28 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(found === truePairs) // banding is complete for <= 3 of 4x16 bits
   }
 
+  test("ivfTopK: self-neighbors always found; good recall vs brute force") {
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      val v = (0 until 16).map(d =>
+        ((TextHashing.splitmix64(i * 61 + d) >>> 11).toDouble / (1L << 53) * 2 - 1).toFloat)
+      (i.toLong, v.toArray)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val ivf1 = Ann.ivfTopK(vecs, queries, "vec_id", "embedding", "vec_id",
+      dim = 16, nCells = 8, nProbe = 1, k = 1)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(ivf1 === (0 until 10).map(i => (i.toLong, i.toLong)).toSet,
+      "query's own cell must contain itself")
+    val brute = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", "vec_id", 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ivf4 = Ann.ivfTopK(vecs, queries, "vec_id", "embedding", "vec_id",
+      dim = 16, nCells = 8, nProbe = 4, k = 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf4).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall") // probing half the cells
+  }
+
   test("lshTopK agrees with brute force on self-neighbors") {
     import spark.implicits._
     val vecs = (0 until 100).map { i =>
