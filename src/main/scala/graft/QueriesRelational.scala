@@ -285,7 +285,40 @@ object RelationalQueries {
       |    FROM events) t) u
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- CUBE (grouping-sets family, beyond the reference's hand rollup) -----
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("user_mod"), lit(-1)).as("user_mod"),
+        col("n"))
+      .orderBy(col("event_type"), col("user_mod"))
+  val qCubeSql: String =
+    """SELECT COALESCE(event_type, '(all)') AS event_type,
+      |  COALESCE(user_mod, -1) AS user_mod, COUNT(*) AS n
+      |FROM (SELECT event_type, user_id % 10 AS user_mod FROM events) t
+      |GROUP BY CUBE (event_type, user_mod)
+      |ORDER BY event_type, user_mod""".stripMargin
+
+  // --- exact interpolated percentiles on integer cents ----------------------
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(cents(col("l_extendedprice")).as("p"))
+      .agg(
+        round(expr("percentile(p, 0.5)"), 4).as("p50"),
+        round(expr("percentile(p, 0.9)"), 4).as("p90"),
+        round(expr("percentile(p, 0.99)"), 4).as("p99"))
+  val qPercentilesSql: String =
+    """SELECT ROUND(quantile_cont(p, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(p, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(p, 0.99), 4) AS p99
+      |FROM (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p FROM lineitem) t""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (qCube _),
+    "q_percentiles" -> (qPercentiles _),
     "q_containment_join" -> (qContainmentJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_semi_join" -> (qSemiJoin _),
@@ -305,6 +338,8 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cube" -> qCubeSql,
+    "q_percentiles" -> qPercentilesSql,
     "q_containment_join" -> qContainmentJoinSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_semi_join" -> qSemiJoinSql,
