@@ -70,15 +70,21 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     val files = Files.walk(dir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
-    val rowCount = files.map(footerRowCount).sum
+    val fileCounts = files.map(f => f -> footerRowCount(f))
+    val rowCount = fileCounts.map(_._2).sum
 
     val m: ObjectNode = mapper.createObjectNode()
     m.put("snapshot_id", id)
     m.put("parent_id", currentSnapshotId.getOrElse(0L))
     m.put("row_count", rowCount)
     m.put("data_dir", dir.toString)
+    // per-partition (per-file) lineage + metrics (north rule)
     val fa: ArrayNode = m.putArray("files")
-    files.foreach(fa.add)
+    fileCounts.foreach { case (f, n) =>
+      val o = fa.addObject()
+      o.put("path", f)
+      o.put("rows", n)
+    }
     val lin = m.putObject("lineage")
     lineage.foreach { case (k, v) => lin.put(k, v) }
 

@@ -116,6 +116,23 @@ class FrontierSpec extends SparkSpecBase {
     assert(sch.count() > 0)
   }
 
+  test("scheduler: adversarial hot host (90% skew) respects budget and stays salted") {
+    import spark.implicits._
+    val hot = (0 until 45000).map(i => (s"http://hot.example/p/$i", i.toDouble))
+    val cold = (0 until 5000).map(i => (s"http://cold${i % 50}.example/p/$i", i.toDouble))
+    val seeds = (hot ++ cold).toDF("url", "priority")
+    val emptySeen = new SeenSet(tmpDir("s"), spark)
+    val sch = Scheduler.scheduleEpoch(seeds, emptySeen, None, budgetPerHost = 10)
+    val byHost = sch.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost("hot.example") === 10)
+    assert(byHost.values.forall(_ <= 10))
+    // the budget picks the globally best rows of the hot host deterministically
+    val hotTop = sch.filter(col("host") === "hot.example")
+      .select("priority").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(hotTop === (44990 until 45000).map(_.toDouble))
+  }
+
   test("scheduler: canonicalization collapses seed variants") {
     val seeds = SyntheticCorpus.seedUrls(spark, 2000, pageCount = 100)
     val n = Scheduler.normalize(seeds)
