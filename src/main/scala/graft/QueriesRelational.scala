@@ -316,7 +316,22 @@ object RelationalQueries {
       |  ROUND(quantile_cont(p, 0.99), 4) AS p99
       |FROM (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p FROM lineitem) t""".stripMargin
 
+  // --- JSON metadata extraction (the metadata-dict shape of the reference's
+  // Document rows, parsed relationally) + urlsafe base64 (P10 variant) ------
+  def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        translate(base64(col("event_type").cast("binary")), "+/", "-_").as("type_b64url"))
+      .orderBy(col("event_id"))
+  val qJsonPropsSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  translate(to_base64(encode(event_type)), '+/', '-_') AS type_b64url
+      |FROM events ORDER BY event_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_props" -> (qJsonProps _),
     "q_cube" -> (qCube _),
     "q_percentiles" -> (qPercentiles _),
     "q_containment_join" -> (qContainmentJoin _),
@@ -338,6 +353,7 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_json_props" -> qJsonPropsSql,
     "q_cube" -> qCubeSql,
     "q_percentiles" -> qPercentilesSql,
     "q_containment_join" -> qContainmentJoinSql,
