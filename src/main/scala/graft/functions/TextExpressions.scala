@@ -134,12 +134,15 @@ case class MinHashSig(child: Expression, numHashes: Int = 64, shingleSize: Int =
     copy(child = newChild)
 }
 
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(TextHashing.simhash64(input.toString))
+    java.lang.Long.valueOf(ExprKernels.simhash64(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -133,44 +133,47 @@ object UrlNormalize {
   }
 }
 
-case class CanonicalizeUrl(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "canonicalize_url"
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(UrlNormalize.canonicalize(input.toString))
+    ExprKernels.canonicalizeUrl(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.canonicalizeUrl($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-case class UrlHost(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class UrlHost(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "url_host"
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(UrlNormalize.host(input.toString))
+    ExprKernels.urlHost(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.urlHost($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-case class RegisteredDomain(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class RegisteredDomain(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "registered_domain"
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(UrlNormalize.registeredDomain(input.toString))
+    ExprKernels.registeredDomain(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.registeredDomain($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** sha256-based 64-bit url key (applies canonicalization first). */
-case class UrlHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class UrlHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "url_hash64"
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(
-      UrlNormalize.urlHash64(UrlNormalize.canonicalize(input.toString)))
+    java.lang.Long.valueOf(ExprKernels.urlHash64(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.urlHash64($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
