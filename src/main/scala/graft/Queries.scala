@@ -220,12 +220,12 @@ object Queries {
     "q_license_extract" -> (qLicenseExtract _),
     "q_license_filter_agg" -> (qLicenseFilterAgg _),
     "q_url_parse" -> (qUrlParse _)
-  ) ++ RelationalQueries.all ++ TextQueries.all ++ CrawlQueries.all
+  ) ++ RelationalQueries.all ++ TextQueries.all ++ CrawlQueries.all ++ PipelineQueries.all
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q_license_extract" -> qLicenseExtractSql,
     "q_license_filter_agg" -> qLicenseFilterAggSql,
     "q_url_parse" -> qUrlParseSql
-  ) ++ RelationalQueries.oracles ++ TextQueries.oracles ++ CrawlQueries.oracles
+  ) ++ RelationalQueries.oracles ++ TextQueries.oracles ++ CrawlQueries.oracles ++ PipelineQueries.oracles
 }
