@@ -37,6 +37,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("frontier file stream drains committed snapshots with AvailableNow") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("fstream").toString
+    val table = new graft.table.SnapshotTable(root, spark)
+    table.commit(Seq(("http://a/1", 1.0), ("http://a/2", 2.0)).toDF("url", "priority"))
+    table.commit(Seq(("http://b/1", 3.0)).toDF("url", "priority"))
+    val stream = StreamingOps.frontierFileStream(spark, root)
+    val q = stream.writeStream.format("memory").queryName("frontier_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val urls = spark.table("frontier_stream").select("url")
+      .as[String].collect().sorted.toSeq
+    // drains ALL snapshot data dirs (s1 + s2 — the stream sees history)
+    assert(urls === Seq("http://a/1", "http://a/2", "http://b/1"))
+  }
+
   test("watermarked windowed counts over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
