@@ -98,7 +98,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"scheduled":${metrics.scheduled},"fetched":${metrics.fetched},"licensed":${metrics.licensed},"decode_ok":${metrics.decodeOk},"new_frontier":${metrics.newFrontier},"sec":$crawlSecs%.2f,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${crawlSecs + totalQuerySecs}%.2f,"total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"epochs":$nEpochs,"scheduled":$totalScheduled,"fetched":${metrics.fetched},"licensed":${metrics.licensed},"decode_ok":${metrics.decodeOk},"new_frontier":${metrics.newFrontier},"sec":$crawlSecs%.2f,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
