@@ -29,7 +29,17 @@ object Bench {
       val p = java.nio.file.Paths.get("/dev/shm")
       if (java.nio.file.Files.isWritable(p)) "/dev/shm/graft-bench" else null
     }
-    if (shmBase != null) java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shmBase))
+    if (shmBase != null) {
+      // wipe leftovers from prior runs first — tmpfs must not accumulate
+      try {
+        import scala.jdk.CollectionConverters._
+        val base = java.nio.file.Paths.get(shmBase)
+        if (java.nio.file.Files.exists(base))
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      } catch { case _: Exception => () }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shmBase))
+    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,5 +110,11 @@ object Bench {
     println(
       f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${crawlSecs + totalQuerySecs}%.2f,"total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"epochs":$nEpochs,"scheduled":$totalScheduled,"fetched":${metrics.fetched},"licensed":${metrics.licensed},"decode_ok":${metrics.decodeOk},"new_frontier":${metrics.newFrontier},"sec":$crawlSecs%.2f,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // best-effort cleanup: tmpfs must not accumulate across rounds
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(root)).iterator().asScala.toSeq.reverse
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    } catch { case _: Exception => () }
   }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point for users switching from the reference pipeline:
+  *
+  * {{{
+  *   val spark = Graft.session()                 // tuned local session
+  *   Graft.init(spark)                           // register all expressions
+  *   val c5 = graft.pipeline.MainPipeline.annotate(fetchedDocs)
+  * }}}
+  *
+  * On a cluster, build your own session and just call `Graft.init`.
+  */
+object Graft {
+
+  /** Register the 20 graft expressions on an existing session (idempotent). */
+  def init(spark: SparkSession): SparkSession = {
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Local session with the settings this engine is tuned for. */
+  def session(master: String = "local[*]",
+      shufflePartitions: Option[Int] = None): SparkSession = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    init(s)
+  }
+}
