@@ -98,6 +98,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Resolve near-dup PAIRS into groups: iterative min-label propagation
+    * (distributed connected components). Each round joins every id with its
+    * neighbors' current labels and keeps the minimum; converges in
+    * O(log(max component diameter)) rounds — dedup clusters are tiny, so 2-3
+    * shuffles in practice. Returns (id, keep_id) where keep_id is the
+    * smallest id of the component (the canonical survivor).
+    */
+  def resolveGroups(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a_id").as("id"))
+      .distinct()
+      .withColumn("keep_id", col("id"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "b_id", "keep_id" -> "nb_keep")), "b_id")
+        .groupBy(col("a_id").as("id"))
+        .agg(min(col("nb_keep")).as("nb_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("keep_id"), coalesce(col("nb_min"), col("keep_id"))).as("keep_id"))
+        .cache()
+      changed = next.join(labels.withColumnsRenamed(Map("keep_id" -> "old_keep")), "id")
+        .filter(col("keep_id") < col("old_keep")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole: any pair
     * within Hamming distance ≤3 shares at least one exact 16-bit band), then
     * exact Hamming verification ≤ `maxDistance`. */

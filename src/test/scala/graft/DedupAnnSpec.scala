@@ -92,6 +92,18 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(found === truePairs) // banding is complete for <= 3 of 4x16 bits
   }
 
+  test("resolveGroups: min-label propagation finds connected components") {
+    import spark.implicits._
+    // chain 1-2-3-4, pair 10-11, chain 20-21-22 (out of order edges)
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (21L, 22L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val groups = graft.ops.Dedup.resolveGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups(1L) === 1L && groups(2L) === 1L && groups(3L) === 1L && groups(4L) === 1L)
+    assert(groups(10L) === 10L && groups(11L) === 10L)
+    assert(groups(20L) === 20L && groups(21L) === 20L && groups(22L) === 20L)
+  }
+
   test("ivfTopK: self-neighbors always found; good recall vs brute force") {
     import spark.implicits._
     val vecs = (0 until 200).map { i =>
