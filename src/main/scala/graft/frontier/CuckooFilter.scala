@@ -19,6 +19,13 @@ final class CuckooFilter(val nBuckets: Int) extends Serializable {
   private val table = new Array[Short](nBuckets * BucketSize)
   private var evictionCounter = 0L
   private var count = 0L
+  // One-slot victim stash (Fan et al. §4): an eviction walk that exhausts
+  // MaxKicks parks its final displaced fingerprint here instead of dropping
+  // it — dropping would turn a previously-inserted key into a false negative.
+  // While the stash is occupied the filter is "full": inserts that would need
+  // another eviction walk fail cleanly.
+  private var stashFp: Short = 0
+  private var stashIdx: Int = -1
 
   def size: Long = count
 
@@ -60,12 +67,21 @@ final class CuckooFilter(val nBuckets: Int) extends Serializable {
     false
   }
 
-  /** @return false when the filter is saturated (caller must grow/spill) */
+  private def stashMatches(fp: Short, i1: Int, i2: Int): Boolean =
+    stashIdx >= 0 && stashFp == fp &&
+      (stashIdx == i1 || stashIdx == i2 ||
+        altIndex(stashIdx, stashFp) == i1 || altIndex(stashIdx, stashFp) == i2)
+
+  /** @return false when the filter is saturated (caller must grow/spill).
+    * A failed insert never corrupts existing membership: the eviction walk
+    * parks its last victim in the stash, and no walk starts while the stash
+    * is occupied. */
   def insert(key: Long): Boolean = {
     val fp = fingerprint(key)
     val i1 = index1(key)
     val i2 = altIndex(i1, fp)
     if (bucketInsert(i1, fp) || bucketInsert(i2, fp)) { count += 1; return true }
+    if (stashIdx >= 0) return false // full: an eviction walk could strand a victim
     // deterministic eviction walk
     var i = if ((splitmix64(evictionCounter) & 1L) == 0L) i1 else i2
     var f = fp
@@ -80,13 +96,22 @@ final class CuckooFilter(val nBuckets: Int) extends Serializable {
       if (bucketInsert(i, f)) { count += 1; return true }
       kicks += 1
     }
-    false
+    // walk exhausted: the displaced chain still holds every prior key except
+    // the final victim f (whose candidate buckets are i and altIndex(i, f))
+    // — stash it so contains()/delete() keep seeing it. The NEW key's
+    // fingerprint was placed at the walk's first step, so this insert
+    // succeeded; the filter is now full.
+    stashFp = f
+    stashIdx = i
+    count += 1
+    true
   }
 
   def contains(key: Long): Boolean = {
     val fp = fingerprint(key)
     val i1 = index1(key)
-    bucketContains(i1, fp) || bucketContains(altIndex(i1, fp), fp)
+    val i2 = altIndex(i1, fp)
+    bucketContains(i1, fp) || bucketContains(i2, fp) || stashMatches(fp, i1, i2)
   }
 
   /** Deletes one copy of the key's fingerprint (standard cuckoo-filter
@@ -94,16 +119,30 @@ final class CuckooFilter(val nBuckets: Int) extends Serializable {
   def delete(key: Long): Boolean = {
     val fp = fingerprint(key)
     val i1 = index1(key)
-    val ok = bucketRemove(i1, fp) || bucketRemove(altIndex(i1, fp), fp)
-    if (ok) count -= 1
-    ok
+    val i2 = altIndex(i1, fp)
+    val ok = bucketRemove(i1, fp) || bucketRemove(i2, fp)
+    if (ok) {
+      count -= 1
+      // a slot freed up: try to re-home the stashed victim
+      if (stashIdx >= 0 &&
+        (bucketInsert(stashIdx, stashFp) ||
+          bucketInsert(altIndex(stashIdx, stashFp), stashFp))) {
+        stashFp = 0; stashIdx = -1
+      }
+      return true
+    }
+    if (stashMatches(fp, i1, i2)) { stashFp = 0; stashIdx = -1; count -= 1; true }
+    else false
   }
 
   def serialize(): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 + table.length * 2)
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 8 + table.length * 2)
     bb.putInt(nBuckets)
-    bb.putInt(0)
+    bb.putInt(if (stashIdx >= 0) 1 else 0)
     bb.putLong(count)
+    bb.putShort(stashFp)
+    bb.putShort(0)
+    bb.putInt(stashIdx)
     table.foreach(bb.putShort)
     bb.array()
   }
@@ -113,9 +152,13 @@ object CuckooFilter {
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    bb.getInt
+    val flags = bb.getInt
     val cnt = bb.getLong
     val f = new CuckooFilter(n)
+    val sFp = bb.getShort
+    bb.getShort
+    val sIdx = bb.getInt
+    if ((flags & 1) != 0) { f.stashFp = sFp; f.stashIdx = sIdx }
     var i = 0
     while (i < n * 4) { f.table(i) = bb.getShort; i += 1 }
     f.count = cnt

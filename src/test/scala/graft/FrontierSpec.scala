@@ -28,6 +28,31 @@ class FrontierSpec extends SparkSpecBase {
     assert(fpAfterDelete < 100, s"too many post-delete positives: $fpAfterDelete")
   }
 
+  test("cuckoo: saturation never corrupts prior membership (victim stash)") {
+    // tiny filter, overfill far past capacity: every key whose insert
+    // reported success must still be contained — the final eviction victim
+    // is parked in the stash instead of silently dropped (Fan et al. §4)
+    val f = new CuckooFilter(8) // 32 slots
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    var k = 0L
+    while (k < 200L) {
+      if (f.insert(graft.functions.TextHashing.splitmix64(k))) accepted += k
+      k += 1
+    }
+    assert(accepted.size < 200, "overfill should saturate the filter")
+    accepted.foreach { key =>
+      assert(f.contains(graft.functions.TextHashing.splitmix64(key)),
+        s"accepted key $key lost after saturation")
+    }
+    assert(f.size === accepted.size.toLong)
+    // stash survives serialization
+    val g = CuckooFilter.deserialize(f.serialize())
+    accepted.foreach(key => assert(g.contains(graft.functions.TextHashing.splitmix64(key))))
+    // deleting a table-resident key frees space; stashed key stays visible
+    assert(g.delete(graft.functions.TextHashing.splitmix64(accepted.head)))
+    accepted.tail.foreach(key => assert(g.contains(graft.functions.TextHashing.splitmix64(key))))
+  }
+
   test("cuckoo: serialization round-trip preserves state") {
     val f = CuckooFilter.forCapacity(1000)
     (0L until 1000L).foreach(i => f.insert(i * 7919L))
