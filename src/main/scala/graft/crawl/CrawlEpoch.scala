@@ -128,13 +128,11 @@ object CrawlEpoch {
       outTable.markStage(epoch, "out")
     }
 
-    // --- stage 3: seen-set update -------------------------------------------
+    // --- stage 3: seen-set update (incremental: delta snapshot + merged
+    // Bloom shards; per-epoch cost is O(scheduled), not O(all keys ever)) ----
     def runSeenStage(): Unit =
       if (!new java.io.File(s"$stateRoot/seen/stages/e$epoch-seen").exists()) {
-        val schedCount = schedTable.manifest(schedTable.currentSnapshotId.get)
-          .map(_.get("row_count").asLong)
-        seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString),
-          expectedAdds = schedCount)
+        seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString))
         seen.table.markStage(epoch, "seen")
       }
 
@@ -151,12 +149,24 @@ object CrawlEpoch {
         .select(explode(GraftFunctions.extractLinks(col("html"))).as("url"))
         .withColumn("priority", lit(linkPriorityDecay))
       val backlog = frontier.read() // URLs not scheduled this epoch stay queued
-      // dedupe before committing: raw link lists are heavily duplicated, and
-      // the frontier write is the epoch's largest I/O — max-priority per URL
-      // (same rule Scheduler.normalize applies) shrinks it ~4x
-      val next = backlog.select(col("url"), col("priority"))
+      // The frontier SHEDS: (a) everything scheduled this epoch, (b) links to
+      // already-crawled pages — without this the table grows monotonically
+      // with every URL ever crawled (round-1 scale bug: compounding commit
+      // I/O + seen-probe work forever). Plan shape: ONE shuffle of the
+      // merged rows on url_hash (groupBy), which the two anti-joins then
+      // reuse (left side already hash-partitioned on the join key); the
+      // scheduled set and the Bloom-filtered "maybe seen" survivors are the
+      // only other shuffle inputs, both epoch-sized. Keys are the same
+      // 64-bit canonical-url hashes the seen set stores, so shedding is
+      // membership-consistent with scheduling.
+      val merged = backlog.select(col("url"), col("priority"))
         .unionByName(links)
-        .groupBy(col("url")).agg(max(col("priority")).as("priority"))
+        .withColumn("url_hash", GraftFunctions.urlHash64(col("url")))
+        .groupBy(col("url_hash"))
+        .agg(max(col("priority")).as("priority"), min(col("url")).as("url"))
+      val unscheduled = merged.join(
+        scheduled.select(col("url_hash")), Seq("url_hash"), "left_anti")
+      val next = seen.filterUnseen(unscheduled).select(col("url"), col("priority"))
       frontier.commit(next, Map("epoch" -> epoch.toString, "stage" -> "frontier"))
       frontier.markStage(epoch, "frontier")
     }

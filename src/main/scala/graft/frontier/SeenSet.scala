@@ -1,8 +1,8 @@
 package graft.frontier
 
-import java.io.ByteArrayInputStream
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import graft.functions.GraftFunctions
 import graft.table.SnapshotTable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -15,29 +15,45 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Scale shape (north rule "partitioned Bloom-filter URL-seen set"): at a
   * 10^10-key frontier a single 1%-fpp filter is ~12 GB — unbroadcastable.
-  * Sharding bounds each sidecar to total/ShardCount, all shards are built in
-  * ONE aggregation job (per-partition build → treeReduce bitwise merge), and
-  * probes load only the shards their rows touch through a per-executor cache
-  * — no driver materialization, no broadcast.
+  * Sharding bounds each sidecar to total/ShardCount and probes load only the
+  * shards their rows touch through a per-executor cache ([[BloomProbe]]) —
+  * no driver materialization, no broadcast.
+  *
+  * INCREMENTAL updates (the 100×-scale property): [[add]] commits only the
+  * epoch's NEW keys as a delta snapshot ([[SnapshotTable.commitDelta]] —
+  * Iceberg fast-append), builds the Bloom shards from the delta alone, and
+  * bitwise-ORs them into the previous generation's sidecars. Per-epoch cost
+  * is O(delta), independent of the accumulated key count; round 1's
+  * read-union-distinct-rewrite of the whole table was O(total) per epoch and
+  * would rewrite ~80 GB every epoch at 10^10 keys. Shard capacity is fixed at
+  * first build (OR-merge requires identical bit geometry) and recorded in a
+  * meta sidecar; when the accumulated count outgrows it (fpp past design) or
+  * the delta chain gets long, [[add]] compacts: one full rewrite + fresh
+  * shards at 4× the current size — amortized O(1) per key.
   *
   * Membership discipline (reference J1 exactness,
   * `db_containment_annotator_single.py:50-67`):
-  *   - `mightContain == false` ⇒ definitely unseen → kept with NO join work;
+  *   - `mightContain == false` ⇒ definitely unseen → kept with NO exact work;
   *   - `mightContain == true` ⇒ maybe seen → confirmed by an exact
   *     `left_anti` join, so no URL is ever falsely dropped.
   *
   * Bloom sidecars are insert-only (epoch replays are no-ops); rollback =
   * snapshot-pointer flip ([[rollbackTo]], sidecars are per-snapshot); the
   * [[CuckooFilter]] covers intra-epoch single-key deletes.
+  *
+  * @param expectedKeys sizing hint for the first Bloom build; underestimating
+  *        only triggers an earlier compaction, never wrong answers.
   */
-final class SeenSet(root: String, spark: SparkSession) {
+final class SeenSet(root: String, spark: SparkSession,
+    expectedKeys: Long = SeenSet.DefaultExpectedKeys) {
 
-  import SeenSet.ShardCount
+  import SeenSet.{MaxChainLength, ShardCount}
 
   val table = new SnapshotTable(root, spark)
 
   private def bloomPath(id: Long, shard: Int) =
     Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin")
+  private def metaPath = Paths.get(root, "snapshots", "bloom-meta.json")
 
   def isEmpty: Boolean = !table.exists
 
@@ -45,49 +61,101 @@ final class SeenSet(root: String, spark: SparkSession) {
     if (table.exists) table.read().select(col("url_hash"))
     else spark.range(0).select(col("id").as("url_hash"))
 
-  /** Add `urlHashes` (column `url_hash`) and commit a new snapshot + sharded
-    * Bloom sidecars. Idempotent under replay: the union is distinct.
-    *
-    * @param expectedAdds upper bound on new keys (e.g. the scheduled-set
-    *        manifest count) — sizes the filters WITHOUT a count job;
-    *        overestimating only lowers the fpp.
-    */
-  def add(urlHashes: DataFrame, lineage: Map[String, String] = Map.empty,
-      expectedAdds: Option[Long] = None): Long = {
-    val prevCount = table.currentSnapshotId
-      .flatMap(id => table.manifest(id)).map(_.get("row_count").asLong).getOrElse(0L)
-    val merged =
-      (if (table.exists) table.read().select(col("url_hash")).unionByName(urlHashes.select(col("url_hash")))
-       else urlHashes.select(col("url_hash"))).distinct()
-    merged.cache()
-    try {
-      val n = math.max(1000L,
-        expectedAdds.map(_ + prevCount).getOrElse(merged.count()))
-      val perShard = math.max(1000L, n / ShardCount)
-      // all shards in one job: build per input partition, bitwise-OR merge
-      import spark.implicits._
-      val blooms = merged.as[Long].rdd
-        .mapPartitions { it =>
-          val arr = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
-          it.foreach(h => arr(SeenSet.shardOf(h)).putLong(h))
-          Iterator(arr)
-        }
-        .treeReduce { (a, b) =>
-          var i = 0
-          while (i < ShardCount) { a(i).mergeInPlace(b(i)); i += 1 }
-          a
-        }
-      val id = table.commit(merged, lineage)
-      blooms.zipWithIndex.foreach { case (bf, shard) =>
-        val out = new java.io.ByteArrayOutputStream()
-        bf.writeTo(out)
-        val tmp = Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin.tmp")
-        Files.write(tmp, out.toByteArray)
-        Files.move(tmp, bloomPath(id, shard), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+  /** Per-shard Bloom capacity, fixed at first build (merge compatibility). */
+  private def shardCapacity: Option[Long] =
+    if (Files.exists(metaPath))
+      Some(new String(Files.readAllBytes(metaPath)).trim.toLong)
+    else None
+
+  private def writeShardCapacity(perShard: Long): Unit = {
+    val tmp = Paths.get(root, "snapshots", "bloom-meta.json.tmp")
+    Files.createDirectories(metaPath.getParent)
+    Files.write(tmp, perShard.toString.getBytes)
+    Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Build all `ShardCount` shards over `keys` in ONE aggregation job
+    * (per-partition build → treeReduce bitwise merge). */
+  private def buildShards(keysDf: DataFrame, perShard: Long): Array[BloomFilter] = {
+    import spark.implicits._
+    val rdd = keysDf.select(col("url_hash")).as[Long].rdd
+    val zero = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
+    if (rdd.isEmpty()) zero
+    else rdd
+      .mapPartitions { it =>
+        val arr = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
+        it.foreach(h => arr(SeenSet.shardOf(h)).putLong(h))
+        Iterator(arr)
       }
+      .treeReduce { (a, b) =>
+        var i = 0
+        while (i < ShardCount) { a(i).mergeInPlace(b(i)); i += 1 }
+        a
+      }
+  }
+
+  private def writeShards(id: Long, blooms: Array[BloomFilter]): Unit =
+    blooms.zipWithIndex.foreach { case (bf, shard) =>
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      val tmp = Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin.tmp")
+      Files.write(tmp, out.toByteArray)
+      Files.move(tmp, bloomPath(id, shard), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Add `urlHashes` (column `url_hash`) as a DELTA: keys already present are
+    * filtered out (Bloom fast path + exact anti-join on the maybes), only new
+    * keys are committed, and only they are hashed into the Bloom shards
+    * (merged into the parent generation's sidecars). Idempotent under replay:
+    * a replayed add contributes an empty delta. Returns the new snapshot id. */
+  def add(urlHashes: DataFrame, lineage: Map[String, String] = Map.empty): Long = {
+    val newKeys = urlHashes.select(col("url_hash")).distinct()
+    if (!table.exists) {
+      // first add: full commit + fresh shards; fix capacity for the chain
+      val id = table.commit(newKeys, lineage)
+      val n = table.manifest(id).map(_.get("row_count").asLong).getOrElse(0L)
+      val perShard = math.max(1000L, math.max(expectedKeys, 4 * n) / ShardCount)
+      writeShardCapacity(perShard)
+      writeShards(id, buildShards(table.readAt(id), perShard))
       id
-    } finally merged.unpersist()
+    } else {
+      val delta = filterUnseen(newKeys)
+      val id = table.commitDelta(delta, lineage)
+      val m = table.manifest(id).get
+      val total = m.get("row_count").asLong
+      val chainLen = table.dataDirs(id).size
+      val parent = m.get("parent_id").asLong
+      val perShard = shardCapacity.getOrElse(
+        math.max(1000L, math.max(expectedKeys, 4 * total) / ShardCount))
+      val outgrown = total > perShard * ShardCount
+      if (outgrown || chainLen > MaxChainLength || !shardsPresent(parent)) {
+        // compaction (amortized O(1)/key): rewrite the chain into one dir and
+        // rebuild shards at 4x the current size. Also the crash-recovery path
+        // when the parent generation's sidecars are missing.
+        val cid = table.commit(table.readAt(id),
+          lineage + ("compaction" -> "true"))
+        val newPerShard =
+          if (outgrown) math.max(perShard, 4 * total / ShardCount)
+          else perShard
+        writeShardCapacity(newPerShard)
+        writeShards(cid, buildShards(table.readAt(cid), newPerShard))
+        cid
+      } else {
+        // delta-only Bloom build, reading back the just-committed delta files
+        // (columnar longs — no recompute of the filter plan, no persist)
+        val deltaDir = m.get("data_dir").asText
+        val deltaBlooms = buildShards(spark.read.parquet(deltaDir), perShard)
+        (0 until ShardCount).foreach { s =>
+          val prev = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+            Files.readAllBytes(bloomPath(parent, s))))
+          deltaBlooms(s).mergeInPlace(prev)
+        }
+        writeShards(id, deltaBlooms)
+        id
+      }
+    }
   }
 
   /** Roll the seen set back to an earlier snapshot (epoch rollback). The
@@ -104,18 +172,27 @@ final class SeenSet(root: String, spark: SparkSession) {
   private def shardsPresent(id: Long): Boolean =
     (0 until ShardCount).forall(s => Files.exists(bloomPath(id, s)))
 
-  /** Rows of `frontier` whose `url_hash` is NOT in the seen set. */
+  /** Rows of `frontier` whose `url_hash` is NOT in the seen set.
+    *
+    * Single pass over the frontier: the codegen'd [[BloomMightContain]] probe
+    * is computed in the scan stage, and the exact anti-join's condition
+    * requires it — rows failing the probe (definitely unseen) match nothing
+    * and are kept with no comparison against the key table; only the maybes
+    * (~fpp of the input + the truly seen) do exact work. Round 1's shape
+    * (two complementary `udf` filters + union) scanned the frontier twice
+    * and probed through an interpreted, boxing UDF. */
   def filterUnseen(frontier: DataFrame): DataFrame = {
     if (isEmpty) return frontier
+    GraftFunctions.register(spark)
     table.currentSnapshotId match {
       case Some(id) if shardsPresent(id) =>
-        val rootC = root
-        val mightContain = udf((h: Long) =>
-          SeenSet.shardFilter(rootC, id, SeenSet.shardOf(h)).mightContainLong(h))
-        val definitelyNew = frontier.filter(!mightContain(col("url_hash")))
-        val maybes = frontier.filter(mightContain(col("url_hash")))
-          .join(keys(), Seq("url_hash"), "left_anti")
-        definitelyNew.unionByName(maybes)
+        val probe = call_function("bloom_might_contain",
+          col("url_hash"), lit(root), lit(id))
+        frontier.withColumn("__maybe_seen", probe)
+          .join(keys().withColumnRenamed("url_hash", "__seen_hash"),
+            col("url_hash") === col("__seen_hash") && col("__maybe_seen"),
+            "left_anti")
+          .drop("__maybe_seen")
       case _ =>
         frontier.join(keys(), Seq("url_hash"), "left_anti")
     }
@@ -128,13 +205,13 @@ object SeenSet {
     * 1% fpp; tasks touch only the shards their rows hash to. */
   val ShardCount: Int = 16
 
+  /** Delta-chain length that triggers compaction (bounds per-read file-list
+    * overhead and sidecar lineage). */
+  val MaxChainLength: Int = 64
+
+  /** Default first-build sizing hint (callers at larger scale pass their
+    * own; outgrowing it only triggers compaction). */
+  val DefaultExpectedKeys: Long = 4L * 1000 * 1000
+
   def shardOf(h: Long): Int = (((h % ShardCount) + ShardCount) % ShardCount).toInt
-
-  // per-executor lazy shard cache: (root, snapshot, shard) → filter
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
-
-  private[frontier] def shardFilter(root: String, id: Long, shard: Int): BloomFilter =
-    cache.computeIfAbsent(s"$root#$id#$shard", _ =>
-      BloomFilter.readFrom(new ByteArrayInputStream(
-        Files.readAllBytes(Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin")))))
 }

@@ -32,7 +32,8 @@ object GraftFunctions {
     "extract_links" -> (es => ExtractLinks(es.head)),
     "normalize_nfc" -> (es => NormalizeNfc(es.head)),
     "extract_visible_text" -> (es => ExtractVisibleText(es.head)),
-    "vec_dot" -> (es => VecDot(es(0), es(1)))
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "bloom_might_contain" -> (es => graft.frontier.BloomMightContain(es(0), es(1), es(2)))
   )
 
   @volatile private var registered: Set[SparkSession] = Set.empty

@@ -56,9 +56,34 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     *                 (e.g. epoch number, input snapshot ids)
     */
   def commit(df: DataFrame, lineage: Map[String, String] = Map.empty,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil): Long =
+    commitInternal(df, lineage, partitionBy, delta = false)
+
+  /** Append-only commit: `df` holds only NEW rows; the snapshot's logical
+    * content is the parent snapshot plus `df`. The manifest records the full
+    * chain of data directories (`data_dirs`) so [[read]] unions them with one
+    * multi-path parquet scan — the parent's files are never rewritten. This
+    * is the Iceberg fast-append pattern: per-epoch commit cost is
+    * O(delta), not O(table). Mixing with [[commit]] is allowed: a full
+    * commit starts a fresh single-dir chain (compaction). */
+  def commitDelta(df: DataFrame, lineage: Map[String, String] = Map.empty): Long =
+    commitInternal(df, lineage, Nil, delta = true)
+
+  /** All data directories of snapshot `id` (the delta chain, or the single
+    * dir of a full commit). */
+  def dataDirs(id: Long): Seq[String] =
+    manifest(id) match {
+      case Some(m) if m.has("data_dirs") =>
+        m.get("data_dirs").elements().asScala.map(_.asText).toSeq
+      case Some(m) => Seq(m.get("data_dir").asText)
+      case None => Nil
+    }
+
+  private def commitInternal(df: DataFrame, lineage: Map[String, String],
+      partitionBy: Seq[String], delta: Boolean): Long = {
     Files.createDirectories(snapDir)
-    val id = currentSnapshotId.getOrElse(0L) + 1L
+    val parent = currentSnapshotId
+    val id = parent.getOrElse(0L) + 1L
     val dir = dataDir(id)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -71,13 +96,24 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
       .filter(p => p.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
     val fileCounts = files.map(f => f -> footerRowCount(f))
-    val rowCount = fileCounts.map(_._2).sum
+    val deltaRows = fileCounts.map(_._2).sum
+    val parentDirs = if (delta) parent.map(dataDirs).getOrElse(Nil) else Nil
+    val parentRows =
+      if (delta)
+        parent.flatMap(manifest).map(_.get("row_count").asLong).getOrElse(0L)
+      else 0L
+    val rowCount = parentRows + deltaRows
 
     val m: ObjectNode = mapper.createObjectNode()
     m.put("snapshot_id", id)
-    m.put("parent_id", currentSnapshotId.getOrElse(0L))
+    m.put("parent_id", parent.getOrElse(0L))
     m.put("row_count", rowCount)
+    m.put("delta_rows", deltaRows)
     m.put("data_dir", dir.toString)
+    if (delta) {
+      val dd: ArrayNode = m.putArray("data_dirs")
+      (parentDirs :+ dir.toString).foreach(dd.add)
+    }
     // per-partition (per-file) lineage + metrics (north rule)
     val fa: ArrayNode = m.putArray("files")
     fileCounts.foreach { case (f, n) =>
@@ -111,8 +147,12 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
   def read(): DataFrame = readAt(
     currentSnapshotId.getOrElse(sys.error(s"no committed snapshot in $root")))
 
-  /** Time-travel read of a specific snapshot. */
-  def readAt(id: Long): DataFrame = spark.read.parquet(dataDir(id).toString)
+  /** Time-travel read of a specific snapshot (unions the delta chain). */
+  def readAt(id: Long): DataFrame = {
+    val dirs = dataDirs(id)
+    if (dirs.isEmpty) spark.read.parquet(dataDir(id).toString)
+    else spark.read.parquet(dirs: _*)
+  }
 
   def exists: Boolean = currentSnapshotId.isDefined
 

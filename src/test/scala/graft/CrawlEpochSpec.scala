@@ -57,6 +57,39 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(sch1.intersect(sch2).isEmpty, "an already-crawled URL was rescheduled")
   }
 
+  test("frontier sheds scheduled and seen URLs: exact per-epoch accounting") {
+    import graft.functions.GraftFunctions
+    val (pages, images, seeds, robots) = corpus()
+    val root = Files.createTempDirectory("crawlShed").toString
+    CrawlEpoch.seed(root, spark, seeds)
+    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+    val schedT = new SnapshotTable(s"$root/scheduled", spark)
+    val sch1 = schedT.readAt(1)
+    val frontier1 = CrawlEpoch.frontierTable(root, spark).read()
+      .withColumn("h", GraftFunctions.urlHash64(col("url")))
+    // (a) nothing scheduled this epoch stays in the frontier
+    assert(frontier1.join(sch1.select(col("url_hash").as("h")), Seq("h")).count() === 0)
+    // (b) exact accounting: |frontier| = |dedup(backlog ∪ links) \ scheduled|
+    // recomputed independently from the corpus
+    val links = pages
+      .withColumn("page_hash", GraftFunctions.urlHash64(col("url")))
+      .join(sch1.select(col("url_hash"), col("canon_url")),
+        col("page_hash") === col("url_hash") && col("url") === col("canon_url"),
+        "left_semi")
+      .select(explode(GraftFunctions.extractLinks(col("html"))).as("url"))
+    val expected = seeds.select(col("url")).unionByName(links)
+      .select(GraftFunctions.urlHash64(col("url")).as("h")).distinct()
+      .join(sch1.select(col("url_hash").as("h")), Seq("h"), "left_anti")
+      .count()
+    assert(frontier1.count() === expected)
+    // (c) after epoch 2 the frontier is still disjoint from EVERYTHING seen
+    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 2)
+    val seenAll = new graft.frontier.SeenSet(s"$root/seen", spark).keys()
+    val frontier2 = CrawlEpoch.frontierTable(root, spark).read()
+      .withColumn("h", GraftFunctions.urlHash64(col("url")))
+    assert(frontier2.join(seenAll.withColumnRenamed("url_hash", "h"), Seq("h")).count() === 0)
+  }
+
   test("two-epoch crawl: identical outputs and final seen-set across parallelism") {
     val (pages, images, seeds, robots) = corpus()
     def runAt(shuffleParts: Int, root: String): (Seq[String], Seq[Long]) = {

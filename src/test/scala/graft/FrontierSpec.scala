@@ -94,6 +94,55 @@ class FrontierSpec extends SparkSpecBase {
     assert(seen.keys().count() === 5000L)
   }
 
+  test("seen set: adds are incremental deltas; compaction keeps exactness") {
+    import spark.implicits._
+    val root = tmpDir("seeninc")
+    val seen = new SeenSet(root, spark, expectedKeys = 1000)
+    seen.add((0L until 5000L).toDF("url_hash"))
+    val m1 = seen.table.manifest(seen.table.currentSnapshotId.get).get
+    assert(!m1.has("data_dirs"), "first add is a full commit")
+    // second add: only the delta is committed — parent files untouched
+    seen.add((4000L until 8000L).toDF("url_hash"))
+    val m2 = seen.table.manifest(seen.table.currentSnapshotId.get).get
+    assert(m2.has("data_dirs") && m2.get("data_dirs").size() === 2,
+      "second add must be a delta commit chaining the parent dir")
+    assert(m2.get("delta_rows").asLong === 3000L, "delta holds only NEW keys")
+    assert(m2.get("row_count").asLong === 8000L)
+    assert(seen.keys().count() === 8000L)
+    // replayed add: empty delta, no key-count change
+    seen.add((0L until 8000L).toDF("url_hash"))
+    assert(seen.table.manifest(seen.table.currentSnapshotId.get)
+      .get.get("delta_rows").asLong === 0L)
+    assert(seen.keys().count() === 8000L)
+    // outgrow the fixed bloom capacity (first build sized ~20k): compaction
+    // rewrites the chain into one dir and rebuilds shards larger
+    seen.add((8000L until 40000L).toDF("url_hash"))
+    val mc = seen.table.manifest(seen.table.currentSnapshotId.get).get
+    assert(!mc.has("data_dirs"), "outgrown capacity must trigger compaction")
+    assert(mc.get("row_count").asLong === 40000L)
+    // exactness end-to-end after deltas + compaction
+    val unseen = seen.filterUnseen((39000L until 41000L).toDF("url_hash"))
+      .as[Long].collect().sorted.toSeq
+    assert(unseen === (40000L until 41000L).toSeq)
+  }
+
+  test("bloom probe: executor cache keeps one generation per shard") {
+    import spark.implicits._
+    val root = tmpDir("seencache")
+    val seen = new SeenSet(root, spark)
+    seen.add((0L until 100L).toDF("url_hash"))
+    val id1 = seen.table.currentSnapshotId.get
+    seen.add((100L until 200L).toDF("url_hash"))
+    val id2 = seen.table.currentSnapshotId.get
+    val f1 = graft.frontier.BloomProbe.filterFor(root, id1, 0)
+    val f2 = graft.frontier.BloomProbe.filterFor(root, id2, 0)
+    assert(f1 ne f2)
+    // re-requesting the newest is a hit; requesting the old one replaces it
+    assert(graft.frontier.BloomProbe.filterFor(root, id2, 0) eq f2)
+    val f1again = graft.frontier.BloomProbe.filterFor(root, id1, 0)
+    assert(f1again ne f2, "rollback generation must replace the cached one")
+  }
+
   test("seen set: rollback restores earlier membership exactly") {
     import spark.implicits._
     val root = tmpDir("seenrb")
