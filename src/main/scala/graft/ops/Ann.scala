@@ -61,17 +61,26 @@ object Ann {
     transform(cents, c => dot(c, vec))
   }
 
-  /** Nearest-centroid cell id for a (double-array) vector column. */
+  /** (score, cell) structs with the nCells×dim dot products evaluated ONCE
+    * (round 1 instantiated the scores array twice in ivfCell and nCells times
+    * in ivfProbeCells when subexpression elimination missed). */
+  private def scoredCells(vec: Column, dim: Int, nCells: Int): Column =
+    zip_with(cellScores(vec, dim, nCells),
+      sequence(lit(0), lit(nCells - 1)),
+      (s, c) => struct(s.as("s"), c.as("cell")))
+
+  /** Nearest-centroid cell id for a (double-array) vector column (first max
+    * wins ties, matching array_position semantics). */
   def ivfCell(vec: Column, dim: Int, nCells: Int): Column =
-    array_position(cellScores(vec, dim, nCells),
-      array_max(cellScores(vec, dim, nCells))) - 1
+    aggregate(scoredCells(vec, dim, nCells),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("cell")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      .getField("cell")
 
   /** Top-`nProbe` cell ids for a query vector (by centroid dot product). */
-  def ivfProbeCells(vec: Column, dim: Int, nCells: Int, nProbe: Int): Column = {
-    val scored = transform(sequence(lit(0), lit(nCells - 1)),
-      c => struct(element_at(cellScores(vec, dim, nCells), c + 1).as("s"), c.as("cell")))
-    slice(reverse(array_sort(scored)), 1, nProbe).getField("cell")
-  }
+  def ivfProbeCells(vec: Column, dim: Int, nCells: Int, nProbe: Int): Column =
+    slice(reverse(array_sort(scoredCells(vec, dim, nCells))), 1, nProbe)
+      .getField("cell")
 
   /** IVF ANN: corpus bucketed once by nearest centroid; each query probes
     * only its `nProbe` nearest cells. The corpus-side `ivfCell` is the

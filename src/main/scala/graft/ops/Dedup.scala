@@ -73,11 +73,15 @@ object Dedup {
         hash(slice(col("sig"), j * rows + 1, rows)).as(s"b$j")): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
 
-    // cap pathological buckets (hot-key guard; counted, not silent)
+    // cap pathological buckets (hot-key guard; counted via observe, not
+    // silent — a listener / Verify can read rows_dropped_by_bucket_cap)
     val bucketed = banded
       .withColumn("bucket_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_hash")).orderBy(col("id"))))
+      .observe("minhash_bucket_cap",
+        sum(when(col("bucket_rank") > maxBucketSize, 1L).otherwise(0L))
+          .as("rows_dropped_by_bucket_cap"))
       .filter(col("bucket_rank") <= maxBucketSize)
 
     val a = bucketed.select(col("band"), col("band_hash"), col("id").as("a_id"))
@@ -104,6 +108,13 @@ object Dedup {
     * O(log(max component diameter)) rounds — dedup clusters are tiny, so 2-3
     * shuffles in practice. Returns (id, keep_id) where keep_id is the
     * smallest id of the component (the canonical survivor).
+    *
+    * Iteration hygiene at scale: each round `localCheckpoint`s the labels —
+    * truncating lineage so plan re-analysis cost stays constant per round
+    * instead of growing with the join chain — and the convergence signal
+    * rides the SAME job via `observe` (an accumulator-backed metric filled
+    * while the checkpoint materializes), so each round is ONE Spark job, not
+    * a label job plus a separate convergence count.
     */
   def resolveGroups(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     val edges = pairs.select(col("a_id"), col("b_id"))
@@ -113,7 +124,7 @@ object Dedup {
     var labels = edges.select(col("a_id").as("id"))
       .distinct()
       .withColumn("keep_id", col("id"))
-      .cache()
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
@@ -122,13 +133,14 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "b_id", "keep_id" -> "nb_keep")), "b_id")
         .groupBy(col("a_id").as("id"))
         .agg(min(col("nb_keep")).as("nb_min"))
+      val obs = org.apache.spark.sql.Observation(s"cc_converge_$iter")
       val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("keep_id"), coalesce(col("nb_min"), col("keep_id"))).as("keep_id"))
-        .cache()
-      changed = next.join(labels.withColumnsRenamed(Map("keep_id" -> "old_keep")), "id")
-        .filter(col("keep_id") < col("old_keep")).count()
-      labels.unpersist()
+        .select(col("id"), col("keep_id"),
+          least(col("keep_id"), coalesce(col("nb_min"), col("keep_id"))).as("new_keep"))
+        .observe(obs, sum(when(col("new_keep") < col("keep_id"), 1L).otherwise(0L)).as("n_changed"))
+        .select(col("id"), col("new_keep").as("keep_id"))
+        .localCheckpoint() // materializes: one job computes labels AND the metric
+      changed = obs.get("n_changed").asInstanceOf[Long]
       labels = next
       iter += 1
     }
@@ -160,6 +172,9 @@ object Dedup {
       .withColumn("bucket_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_key")).orderBy(col("id"))))
+      .observe("simhash_bucket_cap",
+        sum(when(col("bucket_rank") > maxBucketSize, 1L).otherwise(0L))
+          .as("rows_dropped_by_bucket_cap"))
       .filter(col("bucket_rank") <= maxBucketSize)
 
     val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sig").as("a_sig"))

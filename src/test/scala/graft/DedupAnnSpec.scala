@@ -104,6 +104,33 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(groups(20L) === 20L && groups(21L) === 20L && groups(22L) === 20L)
   }
 
+  test("resolveGroups: one action per iteration (observe-fused convergence)") {
+    import spark.implicits._
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    // path graph 1-2-3-4-5-6: min label needs 5 propagation rounds + 1
+    // confirming round to converge
+    val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    spark.listenerManager.register(listener)
+    try {
+      val resolved = graft.ops.Dedup.resolveGroups(pairs, maxIterations = 10)
+      Thread.sleep(300) // QueryExecutionListener delivery is async
+      val n = actions.get()
+      val groups = resolved.as[(Long, Long)].collect().toMap
+      assert((1L to 6L).forall(groups(_) === 1L))
+      // 1 initial-labels checkpoint + 6 iteration checkpoints, each carrying
+      // the convergence metric via observe; round 1 ran a separate
+      // convergence-count action per iteration on an ever-growing plan
+      assert(n <= 7, s"expected <= 7 actions (1/iteration), saw $n")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ivfTopK: self-neighbors always found; good recall vs brute force") {
     import spark.implicits._
     val vecs = (0 until 200).map { i =>
