@@ -95,20 +95,31 @@ object Bench {
     CrawlEpoch.seed(root, spark, seeds)
     val budget = math.max(100, (nPages / 8).toInt)
     val nEpochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "1").toInt
-    val (metricsSeq, crawlSecs) = time {
-      (1 to nEpochs).map(e =>
+    // time each epoch individually: "sec"/"urls_per_sec" are EPOCH-ONLY
+    // quantities (corpus synthesis + seed install happen before any timer),
+    // and "epoch_sec" exposes the per-epoch breakdown so flatness of the
+    // seen-set update across epochs is visible in the bench JSON itself
+    val epochResults = (1 to nEpochs).map { e =>
+      time {
         CrawlEpoch.run(root, spark, pages, images, Some(robots),
-          budgetPerHost = budget, epoch = e))
+          budgetPerHost = budget, epoch = e)
+      }
     }
-    val metrics = metricsSeq.head
-    val totalScheduled = metricsSeq.map(_.scheduled).sum
+    val crawlSecs = epochResults.map(_._2).sum
+    // cross-epoch metrics: flows are summed, the frontier is a final state
+    val totalScheduled = epochResults.map(_._1.scheduled).sum
+    val totalFetched = epochResults.map(_._1.fetched).sum
+    val totalLicensed = epochResults.map(_._1.licensed).sum
+    val totalDecodeOk = epochResults.map(_._1.decodeOk).sum
+    val lastFrontier = epochResults.last._1.newFrontier
     val urlsPerSec = totalScheduled / crawlSecs
+    val epochSecs = epochResults.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
 
     val totalQuerySecs = queryTimes.map(_._2).sum
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${crawlSecs + totalQuerySecs}%.2f,"total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"epochs":$nEpochs,"scheduled":$totalScheduled,"fetched":${metrics.fetched},"licensed":${metrics.licensed},"decode_ok":${metrics.decodeOk},"new_frontier":${metrics.newFrontier},"sec":$crawlSecs%.2f,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${crawlSecs + totalQuerySecs}%.2f,"total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"epochs":$nEpochs,"scheduled":$totalScheduled,"fetched":$totalFetched,"licensed":$totalLicensed,"decode_ok":$totalDecodeOk,"new_frontier":$lastFrontier,"sec":$crawlSecs%.2f,"epoch_sec":$epochSecs,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // best-effort cleanup: tmpfs must not accumulate across rounds
     try {

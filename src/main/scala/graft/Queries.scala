@@ -154,6 +154,89 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- potential_licenses: the full struct-of-8-parallel-arrays column -----
+  // (`script_utils.py:301-315`, transpose `license_annotator.py:68-71`).
+  // Two licenses per page — a meta tag in head (url1) and an a-tag in a
+  // footer div (url2) — so the arrays carry MULTIPLE entries, the 3-key sort
+  // (meta_tag before a_tag), per-license head/footer flags, contexts, and
+  // the disagreement rule are all exercised. The oracle states each parallel
+  // array in closed form; arrays are compared as top-level list columns
+  // (nested-struct parquet→pandas comparison is driver-hostile, the CONTENT
+  // is what the check covers — the struct shape is schema-spec'd).
+  def qLicenseStruct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions._
+    val u1 = element_at(array(ccUrls.map(lit): _*), (col("doc_id") % 12 + 1).cast("int"))
+    val u2 = element_at(array(ccUrls.map(lit): _*), ((col("doc_id") + 3) % 12 + 1).cast("int"))
+    val html = concat(
+      lit("<html><head><meta name=\"license\" content=\""), u1,
+      lit("\"></head><body><p>Shared body sentence.</p>" +
+        "<div id=\"page-footer\"><a href=\""), u2,
+      lit("\">License</a></div></body></html>"))
+    val annotated = t(s, dir, "documents")
+      .select(col("doc_id"), extractCcLicenses(html).as("x"))
+    val metaCols = licenseMetadataColumns(col("x"))
+    annotated.select(col("doc_id") +: metaCols: _*)
+      .select(col("doc_id"), col("license_abbr"), col("license_disagreement"),
+        col("potential_licenses").getField("abbr").as("pl_abbr"),
+        col("potential_licenses").getField("version").as("pl_version"),
+        col("potential_licenses").getField("location").as("pl_location"),
+        col("potential_licenses").getField("in_head").as("pl_in_head"),
+        col("potential_licenses").getField("in_footer").as("pl_in_footer"),
+        col("potential_licenses").getField("element").as("pl_element"),
+        col("potential_licenses").getField("left_context").as("pl_left_context"),
+        col("potential_licenses").getField("right_context").as("pl_right_context"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLicenseStructSql: String = {
+    def caseOn(col: String, vals: Seq[String]): String =
+      "CASE " + vals.zipWithIndex.map { case (v, i) =>
+        s"WHEN $col = $i THEN " + (if (v == null) "NULL" else s"'${v}'")
+      }.mkString(" ") + " ELSE NULL END"
+    // per-license closed forms; license 1 = meta_tag/head (sorts first),
+    // license 2 = a_tag/footer. Either may be absent (example.com url).
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ${caseOn("CAST(doc_id % 12 AS INT)", ccAbbrs)} AS abbr1,
+       |    ${caseOn("CAST(doc_id % 12 AS INT)", ccVers)} AS ver1,
+       |    ${caseOn("CAST(doc_id % 12 AS INT)", ccUrls)} AS url1,
+       |    ${caseOn("CAST((doc_id + 3) % 12 AS INT)", ccAbbrs)} AS abbr2,
+       |    ${caseOn("CAST((doc_id + 3) % 12 AS INT)", ccVers)} AS ver2,
+       |    ${caseOn("CAST((doc_id + 3) % 12 AS INT)", ccUrls)} AS url2
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, abbr1, ver1, abbr2, ver2,
+       |    '<meta content="' || url1 || '" name="license"/>' AS el1,
+       |    '<a href="' || url2 || '">License</a>' AS el2
+       |  FROM m
+       |)
+       |SELECT doc_id,
+       |  COALESCE(abbr1, abbr2) AS license_abbr,
+       |  (abbr1 IS NOT NULL AND abbr2 IS NOT NULL AND abbr1 <> abbr2)
+       |    AS license_disagreement,
+       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [abbr1, abbr2]
+       |       WHEN abbr1 IS NOT NULL THEN [abbr1] ELSE [abbr2] END AS pl_abbr,
+       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [ver1, ver2]
+       |       WHEN abbr1 IS NOT NULL THEN [ver1] ELSE [ver2] END AS pl_version,
+       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['meta_tag', 'a_tag']
+       |       WHEN abbr1 IS NOT NULL THEN ['meta_tag'] ELSE ['a_tag'] END AS pl_location,
+       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [TRUE, FALSE]
+       |       WHEN abbr1 IS NOT NULL THEN [TRUE] ELSE [FALSE] END AS pl_in_head,
+       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [FALSE, TRUE]
+       |       WHEN abbr1 IS NOT NULL THEN [FALSE] ELSE [TRUE] END AS pl_in_footer,
+       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [el1, el2]
+       |       WHEN abbr1 IS NOT NULL THEN [el1] ELSE [el2] END AS pl_element,
+       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL
+       |         THEN ['', 'Shared body sentence.']
+       |       WHEN abbr1 IS NOT NULL THEN ['']
+       |       ELSE ['Shared body sentence.'] END AS pl_left_context,
+       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['', '']
+       |       ELSE [''] END AS pl_right_context
+       |FROM e
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** F4 `LicenseFilter` + A2-style rollup: drop parse errors and rows without
     * an explicit license, count kept rows per abbreviation. */
   def qLicenseFilterAgg(s: SparkSession, dir: String): DataFrame = {
@@ -218,6 +301,7 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_license_extract" -> (qLicenseExtract _),
+    "q_license_struct" -> (qLicenseStruct _),
     "q_license_filter_agg" -> (qLicenseFilterAgg _),
     "q_url_parse" -> (qUrlParse _)
   ) ++ RelationalQueries.all ++ TextQueries.all ++ CrawlQueries.all ++ PipelineQueries.all
@@ -225,6 +309,7 @@ object Queries {
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q_license_extract" -> qLicenseExtractSql,
+    "q_license_struct" -> qLicenseStructSql,
     "q_license_filter_agg" -> qLicenseFilterAggSql,
     "q_url_parse" -> qUrlParseSql
   ) ++ RelationalQueries.oracles ++ TextQueries.oracles ++ CrawlQueries.oracles ++ PipelineQueries.oracles

@@ -97,9 +97,95 @@ object PipelineQueries {
        |ORDER BY id""".stripMargin
   }
 
+  // --- J2: composite-key (dump, id) containment through withContainment ----
+  // Reference FW2 probe `db_containment_annotator_single.py:59-67`: the
+  // membership key is the PAIR — a matching id under the WRONG dump must not
+  // flag. The seen set plants exactly such decoys (doc_id % 5 == 2 rows are
+  // present with the other dump), so a single-key join fails this oracle.
+  def qContainmentFw2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def dump(shift: Int) =
+      concat(lit("CC-MAIN-2024-"), ((col("doc_id") + shift) % 2 + 10).cast("int"))
+    val c5 = docs.select(
+      concat(lit("doc-"), col("doc_id")).as("id"),
+      dump(0).as("dump"),
+      lit(null).cast("boolean").as("found_in_fw"))
+    val seen = docs.filter(col("doc_id") % 5 < 2)
+      .select(dump(0).as("dump"), concat(lit("doc-"), col("doc_id")).as("id"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 2)
+        .select(dump(1).as("dump"), concat(lit("doc-"), col("doc_id")).as("id")))
+    MainPipeline.withContainment(c5, seen, overwriteWithNone = false)
+      .select(col("id"), col("dump"), col("found_in_fw"))
+      .orderBy(col("id"))
+  }
+
+  val qContainmentFw2Sql: String =
+    """SELECT 'doc-' || doc_id AS id,
+      |  'CC-MAIN-2024-' || CAST(doc_id % 2 + 10 AS INT) AS dump,
+      |  (doc_id % 5 < 2) AS found_in_fw
+      |FROM documents
+      |ORDER BY id""".stripMargin
+
+  // --- fine/strict dataset variants (`create_fine_version.py:13-30`) -------
+  // Both variants over one synthesized C5 frame covering every predicate arm:
+  // found_in_fw ∈ {true,false,null}, nc/cc-unknown abbrs, disagreement flags,
+  // and "wiki" urls.
+  def qFineStrict(s: SparkSession, dir: String): DataFrame = {
+    val nonNullAbbrs = Queries.ccAbbrs.take(10) // incl. nc variants + cc-unknown
+    val abbr = element_at(array(nonNullAbbrs.map(lit): _*),
+      (col("doc_id") % 10 + 1).cast("int"))
+    val url = concat(lit("http://host.example/"),
+      when(col("doc_id") % 7 === 0, lit("wiki/")).otherwise(lit("")),
+      lit("p/"), col("doc_id"))
+    val fw = when(col("doc_id") % 3 === 0, lit(true))
+      .when(col("doc_id") % 3 === 1, lit(false))
+      .otherwise(lit(null).cast("boolean"))
+    val c5 = t(s, dir, "documents").select(
+      concat(lit("doc-"), col("doc_id")).as("id"),
+      url.as("url"),
+      abbr.as("license_abbr"),
+      (col("doc_id") % 4 === 0).as("license_disagreement"),
+      fw.as("found_in_fw"))
+    graft.pipeline.Postprocess.fineVersion(c5).withColumn("variant", lit("fine"))
+      .unionByName(
+        graft.pipeline.Postprocess.strictVersion(c5).withColumn("variant", lit("strict")))
+      .select(col("variant"), col("id"), col("url"), col("license_abbr"))
+      .orderBy(col("variant"), col("id"))
+  }
+
+  val qFineStrictSql: String = {
+    val abbrCase = "CASE CAST(doc_id % 10 AS INT) " +
+      Queries.ccAbbrs.take(10).zipWithIndex.map { case (a, i) =>
+        s"WHEN $i THEN '$a'"
+      }.mkString(" ") + " END"
+    s"""WITH c5 AS (
+       |  SELECT 'doc-' || doc_id AS id,
+       |    'http://host.example/' ||
+       |      (CASE WHEN doc_id % 7 = 0 THEN 'wiki/' ELSE '' END) ||
+       |      'p/' || doc_id AS url,
+       |    $abbrCase AS license_abbr,
+       |    (doc_id % 4 = 0) AS license_disagreement,
+       |    (doc_id % 3 = 0) AS fw_true
+       |  FROM documents
+       |)
+       |SELECT * FROM (
+       |  SELECT 'fine' AS variant, id, url, license_abbr FROM c5 WHERE fw_true
+       |  UNION ALL
+       |  SELECT 'strict' AS variant, id, url, license_abbr FROM c5
+       |  WHERE fw_true AND NOT license_disagreement
+       |    AND license_abbr NOT LIKE '%nc%' AND license_abbr <> 'cc-unknown'
+       |    AND url NOT LIKE '%wiki%'
+       |)
+       |ORDER BY variant, id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_c5_pipeline" -> (qC5Pipeline _))
+    "q_c5_pipeline" -> (qC5Pipeline _),
+    "q_containment_fw2" -> (qContainmentFw2 _),
+    "q_fine_strict" -> (qFineStrict _))
 
   def oracles: Map[String, String] = Map(
-    "q_c5_pipeline" -> qC5PipelineSql)
+    "q_c5_pipeline" -> qC5PipelineSql,
+    "q_containment_fw2" -> qContainmentFw2Sql,
+    "q_fine_strict" -> qFineStrictSql)
 }

@@ -65,16 +65,31 @@ object MainPipeline {
     val spark = fetched.sparkSession
     GraftFunctions.register(spark)
 
+    // Per-reason drop counters on EVERY filter stage (datatrove A7 parity,
+    // `base.py:41-42`): each stage observes its drop count in the same pass
+    // that filters — metrics ride the action, no extra jobs. Readable from
+    // queryExecution.observedMetrics or a QueryExecutionListener.
+
     // F1: URL filter on registered domain (broadcast set, SURVEY §2.4)
     val banned = typedLit(bannedDomains.toSeq)
     val urlFiltered =
       if (bannedDomains.isEmpty) fetched
-      else fetched.filter(
-        !array_contains(banned, GraftFunctions.registeredDomain(col("url"))))
+      else fetched
+        .withColumn("__banned",
+          array_contains(banned, GraftFunctions.registeredDomain(col("url"))))
+        .observe("url_filter",
+          count(when(col("__banned"), 1)).as("dropped_banned_domain"))
+        .filter(!col("__banned"))
+        .drop("__banned")
 
     // F2: cheap gate BEFORE the expensive parse (R1 — kept explicit)
-    val gated = urlFiltered.filter(
-      contains(lower(col("html")), lit("creativecommons.org")))
+    val gated = urlFiltered
+      .withColumn("__cc_gate",
+        contains(lower(col("html")), lit("creativecommons.org")))
+      .observe("cc_gate",
+        count(when(!col("__cc_gate"), 1)).as("dropped_no_cc_substring"))
+      .filter(col("__cc_gate"))
+      .drop("__cc_gate")
 
     // P1: license annotation
     val lic = gated.withColumn("__lic",
@@ -99,7 +114,10 @@ object MainPipeline {
       .withColumn("language", langCols.head)
       .withColumn("language_score",
         round(coalesce(langCols(1), lit(0.0)), 6))
-      .filter(col("language").isNotNull) // no_language_above_its_threshold
+      .observe("language_filter",
+        count(when(col("language").isNull, 1))
+          .as("dropped_no_language_above_its_threshold"))
+      .filter(col("language").isNotNull)
       // all five heuristic languages are Latin-script; the reference's
       // `{language}_{language_script}` convention is preserved
       .withColumn("language_script", lit("Latn"))

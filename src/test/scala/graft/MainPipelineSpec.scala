@@ -54,6 +54,25 @@ class MainPipelineSpec extends SparkSpecBase {
     assert(!text2.split("\n").exists(_.matches("^[ \\t]*\\|[ \\t|]*$")), "symbol line kept")
   }
 
+  test("per-reason drop metrics on every filter stage (A7 parity)") {
+    import spark.implicits._
+    // passes CC gate + license filter, fails the language threshold
+    val extra = Seq(("doc-6", "CC-MAIN-2024-10", "http://siteE.example/f",
+      "2024-03-01", "warc/f.warc.gz",
+      """<html><body><a href="https://creativecommons.org/licenses/by/4.0/">CC</a><p>zzz qqq xxx yyy www vvv</p></body></html>"""))
+      .toDF("id", "dump", "url", "date", "file_path", "html")
+    val out = MainPipeline.annotate(fetchedDocs().unionByName(extra),
+      bannedDomains = Set("banned.example"))
+    out.collect()
+    val m = out.queryExecution.observedMetrics
+    assert(m("url_filter").getAs[Long]("dropped_banned_domain") === 1L)
+    assert(m("cc_gate").getAs[Long]("dropped_no_cc_substring") === 1L)
+    assert(m("license_filter").getAs[Long]("dropped_parse_error") === 0L)
+    assert(m("license_filter").getAs[Long]("dropped_no_explicit_license") === 1L)
+    assert(m("language_filter")
+      .getAs[Long]("dropped_no_language_above_its_threshold") === 1L)
+  }
+
   test("containment join + overwrite_with_none constant fold") {
     import spark.implicits._
     val c5 = MainPipeline.annotate(fetchedDocs(), bannedDomains = Set("banned.example"))
