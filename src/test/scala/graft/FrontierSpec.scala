@@ -143,6 +143,30 @@ class FrontierSpec extends SparkSpecBase {
     assert(f1again ne f2, "rollback generation must replace the cached one")
   }
 
+  test("filterUnseen: single frontier scan, probe codegen-compiles, exact result") {
+    import spark.implicits._
+    val seen = new SeenSet(tmpDir("seen1scan"), spark)
+    seen.add((0L until 1000L).toDF("url_hash"))
+    val fDir = tmpDir("frontier1scan")
+    (500L until 1500L).toDF("url_hash").write.mode("overwrite").parquet(fDir)
+    val frontier = spark.read.parquet(fDir)
+    val out = seen.filterUnseen(frontier)
+    // CODEGEN_ONLY forbids the silent interpreted fallback: if
+    // BloomMightContain's doGenCode emitted uncompilable Java this throws
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = out.as[Long].collect().sorted.toSeq
+      assert(got === (1000L until 1500L).toSeq)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // ONE scan of the frontier source (round 1's two complementary filters
+    // scanned it twice); the probe rides the scan→join stage
+    val plan = out.queryExecution.executedPlan.toString
+    val frontierScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains(new java.io.File(fDir).getName))
+    assert(frontierScans === 1, s"expected 1 frontier scan, plan:\n$plan")
+    assert(plan.contains("bloom_might_contain"), "probe missing from the plan")
+  }
+
   test("seen set: rollback restores earlier membership exactly") {
     import spark.implicits._
     val root = tmpDir("seenrb")
