@@ -196,6 +196,7 @@ object TextQueries {
   // over the pair list — the verification kernel of the LSH pipelines) ------
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val d = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
     val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))

@@ -9,6 +9,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * row-boxing detour). */
 object ExprKernels {
 
+  /** Kernel twin of the HOF chain `array_distinct(transform(sequence(...),
+    * i => array_join(slice(split(lower(trim(text)), "\\s+"), i, n), " ")))`
+    * — byte-identical output, one call instead of a nested-lambda codegen
+    * blob. Parity details preserved deliberately: Spark `trim` strips 0x20
+    * only (leading '\n' etc. yields a leading empty token), `split` keeps
+    * trailing empties (limit -1), whole token list joined when shorter than
+    * n, first-occurrence order kept by the distinct. */
+  def shingleSet(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.trim().toLowerCase.toString.split("\\s+", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) seen.add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[AnyRef](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def canonicalizeUrl(u: UTF8String): UTF8String =
     UTF8String.fromString(UrlNormalize.canonicalize(u.toString))
 

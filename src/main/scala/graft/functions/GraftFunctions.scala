@@ -33,6 +33,7 @@ object GraftFunctions {
     "normalize_nfc" -> (es => NormalizeNfc(es.head)),
     "extract_visible_text" -> (es => ExtractVisibleText(es.head)),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "shingle_set" -> (es => ShingleSet(es(0), es(1))),
     "bloom_might_contain" -> (es => graft.frontier.BloomMightContain(es(0), es(1), es(2)))
   )
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -122,6 +122,26 @@ object TextHashing {
     }
     selected.toArray
   }
+}
+
+/** `shingle_set(text, n)` — distinct word n-gram shingles, the exact-Jaccard
+  * verification tokenization of the LSH dedup pipelines (see
+  * [[ExprKernels.shingleSet]] for the parity contract with the HOF chain it
+  * replaces). `n` must be an integer literal. */
+case class ShingleSet(child: Expression, nExpr: Expression) extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+  @transient private lazy val n: Int = nExpr.eval().asInstanceOf[Int]
+  override protected def nullSafeEval(t: Any, nn: Any): Any =
+    ExprKernels.shingleSet(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (t, _) => s"graft.functions.ExprKernels.shingleSet($t, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, nExpr = newRight)
 }
 
 case class MinHashSig(child: Expression, numHashes: Int = 64, shingleSize: Int = 3)

@@ -27,16 +27,13 @@ object Dedup {
     when(size(array_union(a, b)) > 0,
       size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
-  /** Distinct word n-gram shingles (same definition as
-    * [[graft.functions.TextHashing.shingles]]: whole text as one shingle when
-    * shorter than n tokens). */
-  def shingleSet(textCol: Column, n: Int): Column = {
-    val toks = split(lower(trim(textCol)), "\\s+")
-    array_distinct(
-      when(size(toks) < n, array(array_join(toks, " ")))
-        .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
-          i => array_join(slice(toks, i, lit(n)), " "))))
-  }
+  /** Distinct word n-gram shingles (whole text as one shingle when shorter
+    * than n tokens) — a native codegen'd kernel
+    * ([[graft.functions.ExprKernels.shingleSet]]); the equivalent
+    * nested-HOF chain evaluated ~8x slower and dominated dedup-query codegen
+    * compile time. */
+  def shingleSet(textCol: Column, n: Int): Column =
+    call_function("shingle_set", textCol, lit(n))
 
   /** MinHash+LSH near-dup candidate pairs with exact shingle-Jaccard
     * verification.
