@@ -168,6 +168,18 @@ object MainPipeline {
       lit(null).cast("boolean").as("found_in_fw"))
   }
 
+  /** F3 EmptyTextFilter analog: drop rows whose text is empty or
+    * whitespace-only (the reference defines but never wires it into the main
+    * pipeline; exposed for parity as a standalone narrow filter). */
+  def emptyTextFilter(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.filter(trim(col(textCol)) =!= "")
+
+  /** U3 set-equality analog — DISTRIBUTED: two except-emptiness probes
+    * instead of collecting both sides to the driver (the reference compares
+    * collected python sets; that shape caps out at driver memory). */
+  def setEquals(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
   /** J1: FineWeb containment backfill — broadcast-or-shuffled left join with
     * IS NOT NULL flag; `overwriteWithNone` reproduces the recency gate's
     * constant-fold (R6: skip all join work for ignored crawls). */

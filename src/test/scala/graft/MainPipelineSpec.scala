@@ -73,6 +73,24 @@ class MainPipelineSpec extends SparkSpecBase {
       .getAs[Long]("dropped_no_language_above_its_threshold") === 1L)
   }
 
+  test("empty-text filter and distributed set equality") {
+    import spark.implicits._
+    val df = Seq(("a", "real text"), ("b", "   "), ("c", ""), ("d", "\t\n"),
+      ("e", "x")).toDF("id", "text")
+    // F3: whitespace-only and empty rows drop; note Spark trim strips 0x20
+    // only, so the tab/newline row is kept — same as trim(text) <> ''
+    val kept = MainPipeline.emptyTextFilter(df).select("id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept === Seq("a", "d", "e"))
+    // U3: set equality as distributed except-emptiness, multiset-sensitive
+    val x = Seq(1, 2, 3).toDF("v")
+    val y = Seq(3, 2, 1).toDF("v")
+    val z = Seq(1, 2).toDF("v")
+    assert(MainPipeline.setEquals(x, y))
+    assert(!MainPipeline.setEquals(x, z))
+    assert(!MainPipeline.setEquals(z, x))
+  }
+
   test("containment join + overwrite_with_none constant fold") {
     import spark.implicits._
     val c5 = MainPipeline.annotate(fetchedDocs(), bannedDomains = Set("banned.example"))
