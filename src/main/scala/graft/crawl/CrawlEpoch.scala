@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
 object CrawlEpoch {
 
   /** Small dedicated pool for the concurrent epoch stages (Spark actions are
-    * driver-blocking; three suffice). Daemon threads: the pool must not keep
+    * driver-blocking; four suffice). Daemon threads: the pool must not keep
     * the JVM alive after main returns. */
   private lazy val stageEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
         val t = new Thread(r, "graft-epoch-stage")
         t.setDaemon(true)
         t
@@ -70,9 +70,43 @@ object CrawlEpoch {
       a
     }
 
+    // --- stage 0: robots cache (north rule "robots.txt caching") -------------
+    // The robots source models the live web: fetching is per-host work, so
+    // the cache stores every host's verdict (including "no robots.txt", as a
+    // null disallow-list — negative caching) and each epoch fetches ONLY the
+    // hosts newly appearing in the frontier, committed as a DELTA snapshot.
+    // Cost discipline: the SCHEDULE gates against `cache ∪ (source \ cached
+    // hosts)` — gating never needs the frontier's host set, because a host
+    // with no row on the broadcast side is simply not disallowed — so robots
+    // work on the schedule path is O(|cache| + |source|), no frontier scan.
+    // The cache COMMIT (which does scan the frontier once to record negative
+    // verdicts for new hosts) gates nothing and runs in the concurrent stage
+    // block, hidden under the fetch/decode stage's wall clock.
+    val robotsCache: Option[(SnapshotTable, DataFrame, DataFrame)] = robots.map { src =>
+      val cacheT = new SnapshotTable(s"$stateRoot/robots", spark)
+      val known = if (cacheT.exists) Some(cacheT.read()) else None
+      val forSchedule = known.fold(src)(k =>
+        k.unionByName(src.join(k.select(col("host")), Seq("host"), "left_anti")))
+      val hosts = frontier.read()
+        .select(GraftFunctions.urlHost(col("url")).as("host")).distinct()
+      val missing = known.fold(hosts)(k =>
+        hosts.join(k.select(col("host")), Seq("host"), "left_anti"))
+      val fetched = missing.join(src, Seq("host"), "left") // null = no robots.txt
+      (cacheT, fetched, forSchedule)
+    }
+
+    def runRobotsStage(): Unit = robotsCache.foreach { case (cacheT, fetched, _) =>
+      if (!cacheT.stageDone(epoch, "robots")) {
+        if (cacheT.exists) cacheT.commitDelta(fetched, Map("epoch" -> epoch.toString))
+        else cacheT.commit(fetched, Map("epoch" -> epoch.toString))
+        cacheT.markStage(epoch, "robots")
+      }
+    }
+
     // --- stage 1: schedule ---------------------------------------------------
     if (!schedTable.stageDone(epoch, "scheduled")) timed("schedule") {
-      val sch = Scheduler.scheduleEpoch(frontier.read(), seen, robots, budgetPerHost)
+      val sch = Scheduler.scheduleEpoch(frontier.read(), seen,
+        robotsCache.map(_._3), budgetPerHost)
       schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
       schedTable.markStage(epoch, "scheduled")
     }
@@ -182,7 +216,8 @@ object CrawlEpoch {
       Await.result(Future.sequence(Seq(
         Future(timed("out")(runOutStage())),
         Future(timed("seen")(runSeenStage())),
-        Future(timed("frontier")(runFrontierStage())))),
+        Future(timed("frontier")(runFrontierStage())),
+        Future(timed("robots")(runRobotsStage())))),
         Duration.Inf)
     }
 

@@ -1,6 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import graft.core.C5Schema
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Post-processing dataset variants over the C5 output
@@ -8,6 +10,14 @@ import org.apache.spark.sql.functions._
   * filters + a column drop — one codegen'd pass over the scan, no shuffle.
   */
 object Postprocess {
+
+  /** Published-parquet read-back with the all-nullable SCHEMA_NULLABLE
+    * variant (`script_utils.py:325-363`) — the schema the reference's
+    * post-processing readers (fine/strict creators, containment backfill)
+    * load with. Pinning the schema keeps the scan pruned and immune to
+    * inference drift across shards. */
+  def readC5(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(C5Schema.schemaNullable).parquet(dir)
 
   /** The -fine variant (`create_fine_version.py:13-16`): rows found in
     * FineWeb(-2); `found_in_fw` null counts as not-found (`row.get(...,

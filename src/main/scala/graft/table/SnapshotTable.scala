@@ -110,6 +110,10 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     m.put("row_count", rowCount)
     m.put("delta_rows", deltaRows)
     m.put("data_dir", dir.toString)
+    // schema recorded so an all-empty snapshot stays readable: a partitioned
+    // write of zero rows produces NO part files, which would otherwise make
+    // the read un-inferable (a drained crawl epoch is legitimate state)
+    m.put("schema_json", df.schema.json)
     if (delta) {
       val dd: ArrayNode = m.putArray("data_dirs")
       (parentDirs :+ dir.toString).foreach(dd.add)
@@ -147,11 +151,23 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
   def read(): DataFrame = readAt(
     currentSnapshotId.getOrElse(sys.error(s"no committed snapshot in $root")))
 
-  /** Time-travel read of a specific snapshot (unions the delta chain). */
+  /** Time-travel read of a specific snapshot (unions the delta chain).
+    * A snapshot with zero rows may have no parquet files at all (empty
+    * partitioned write); it is served as an empty frame with the manifest's
+    * recorded schema. */
   def readAt(id: Long): DataFrame = {
-    val dirs = dataDirs(id)
-    if (dirs.isEmpty) spark.read.parquet(dataDir(id).toString)
-    else spark.read.parquet(dirs: _*)
+    val m = manifest(id)
+    val empty = m.exists(n => n.has("row_count") && n.get("row_count").asLong == 0L)
+    val schemaJson = m.filter(_.has("schema_json")).map(_.get("schema_json").asText)
+    if (empty && schemaJson.isDefined) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson.get)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val dirs = dataDirs(id)
+      if (dirs.isEmpty) spark.read.parquet(dataDir(id).toString)
+      else spark.read.parquet(dirs: _*)
+    }
   }
 
   def exists: Boolean = currentSnapshotId.isDefined

@@ -90,6 +90,66 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(frontier2.join(seenAll.withColumnRenamed("url_hash", "h"), Seq("h")).count() === 0)
   }
 
+  test("robots cache: negative caching, delta-only fetch for new hosts") {
+    import spark.implicits._
+    val pages = SyntheticCorpus.pages(spark, 100).cache()
+    val images = SyntheticCorpus.images(spark, 100).cache()
+    // pick two REAL corpus pages: one to disallow via robots, one to fetch
+    def hostOf(u: String) = u.stripPrefix("http://").takeWhile(_ != '/')
+    val urls = pages.select("url").collect().map(_.getString(0)).sorted
+    val uDis = urls.head
+    val uOk = urls.find(u => hostOf(u) != hostOf(uDis)).get
+    val pathDis = uDis.stripPrefix("http://" + hostOf(uDis))
+    val robotsSrc = Seq((hostOf(uDis), Seq(pathDis))).toDF("host", "disallowed")
+    val seeds = Seq(
+      (uDis, 9.0), // disallowed by robots
+      (uOk, 5.0), // real page: fetches + yields links
+      ("http://nobots.example/x", 4.0) // host absent from the robots source
+    ).toDF("url", "priority")
+    val root = Files.createTempDirectory("crawlRobots").toString
+    CrawlEpoch.seed(root, spark, seeds)
+    CrawlEpoch.run(root, spark, pages, images, Some(robotsSrc), budgetPerHost = 5, epoch = 1)
+    val cache = new SnapshotTable(s"$root/robots", spark)
+    // every frontier host cached, including the no-robots host (null verdict)
+    val cached = cache.read().collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(cached.contains(hostOf(uDis)) && !cached(hostOf(uDis)))
+    assert(cached.contains("nobots.example") && cached("nobots.example"))
+    // the robots gate actually applied from the cache
+    val sch1 = new SnapshotTable(s"$root/scheduled", spark).readAt(1)
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    assert(!sch1.contains(uDis), "disallowed URL scheduled")
+    assert(sch1.contains("http://nobots.example/x"), "no-robots host must not be gated")
+    // epoch 2 discovers new hosts only through new links; its robots commit
+    // is a DELTA whose rows are exactly the newly appearing hosts
+    CrawlEpoch.run(root, spark, pages, images, Some(robotsSrc), budgetPerHost = 5, epoch = 2)
+    val m2 = cache.manifest(cache.currentSnapshotId.get).get
+    assert(m2.has("data_dirs"), "epoch-2 robots commit must be a delta")
+    val newHosts = m2.get("delta_rows").asLong
+    assert(newHosts > 0, "epoch-2 links must surface new hosts to fetch robots for")
+    assert(newHosts === cache.read().count() - cached.size,
+      "delta must hold only newly-seen hosts")
+  }
+
+  test("drained epoch (zero scheduled) completes with empty-but-typed snapshots") {
+    import spark.implicits._
+    val pages = SyntheticCorpus.pages(spark, 50).cache()
+    val images = SyntheticCorpus.images(spark, 50).cache()
+    // a single seed whose page does not exist: fetch 404s, no links, epoch 2
+    // schedules nothing — the crawl drains instead of crashing
+    val seeds = Seq(("http://site1.example/page/999999", 1.0)).toDF("url", "priority")
+    val root = Files.createTempDirectory("crawlDrain").toString
+    CrawlEpoch.seed(root, spark, seeds)
+    val m1 = CrawlEpoch.run(root, spark, pages, images, None, budgetPerHost = 5, epoch = 1)
+    assert(m1.scheduled === 1 && m1.fetched === 0)
+    val m2 = CrawlEpoch.run(root, spark, pages, images, None, budgetPerHost = 5, epoch = 2)
+    assert(m2.scheduled === 0 && m2.fetched === 0 && m2.newFrontier === 0)
+    // the empty out snapshot reads back with its full schema intact
+    val out2 = new SnapshotTable(s"$root/out", spark).read()
+    assert(out2.count() === 0)
+    assert(out2.schema.fieldNames.contains("fetch_status"))
+  }
+
   test("two-epoch crawl: identical outputs and final seen-set across parallelism") {
     val (pages, images, seeds, robots) = corpus()
     def runAt(shuffleParts: Int, root: String): (Seq[String], Seq[Long]) = {
