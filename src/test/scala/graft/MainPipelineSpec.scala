@@ -73,6 +73,22 @@ class MainPipelineSpec extends SparkSpecBase {
       .getAs[Long]("dropped_no_language_above_its_threshold") === 1L)
   }
 
+  test("readC5: published-parquet read-back with SCHEMA_NULLABLE; fine/strict run on it") {
+    import graft.pipeline.Postprocess
+    val c5 = MainPipeline.annotate(fetchedDocs(), bannedDomains = Set("banned.example"))
+      .withColumn("found_in_fw",
+        when(col("id") === "doc-1", lit(true)).otherwise(lit(false)))
+    val dir = java.nio.file.Files.createTempDirectory("c5out").toString
+    MainPipeline.write(c5, dir)
+    val back = Postprocess.readC5(spark, s"$dir/lang_dir=en_Latn")
+    assert(back.schema === C5Schema.schemaNullable)
+    assert(back.count() === 2)
+    val fine = Postprocess.fineVersion(back)
+    assert(fine.collect().map(_.getAs[String]("id")).toSeq === Seq("doc-1"))
+    assert(!fine.columns.contains("found_in_fw"))
+    assert(Postprocess.strictVersion(back).count() === 1) // doc-1: by, no wiki, no nc
+  }
+
   test("empty-text filter and distributed set equality") {
     import spark.implicits._
     val df = Seq(("a", "real text"), ("b", "   "), ("c", ""), ("d", "\t\n"),
