@@ -126,11 +126,23 @@ object CrawlEpoch {
 
     // --- stage 2: fetch + decode + annotate → out ---------------------------
     def runOutStage(): Unit = if (!outTable.stageDone(epoch, "out")) {
-      val fetched = scheduled.join(
-        pagesHashed,
-        scheduled("url_hash") === col("page_hash") &&
-          scheduled("canon_url") === col("page_url"), "left")
+      // Fetch join, 100 TB shape: the page corpus NEVER shuffles. The
+      // scheduled set is politeness-bounded (small) and broadcast, so hits
+      // stream straight out of the corpus scan (no exchange of html bytes);
+      // misses (404s) are recovered by anti-joining scheduled against the
+      // corpus KEY columns only — column pruning keeps that scan narrow.
+      // Round 1's left join SMJ-shuffled the whole corpus including html
+      // every epoch.
+      val hit = pagesHashed.join(
+        broadcast(scheduled),
+        col("url_hash") === col("page_hash") &&
+          col("canon_url") === col("page_url"), "inner")
         .drop("page_hash")
+      val miss = scheduled.join(
+        pagesHashed.select(col("page_hash"), col("page_url")),
+        col("url_hash") === col("page_hash") &&
+          col("canon_url") === col("page_url"), "left_anti")
+      val fetched = hit.unionByName(miss, allowMissingColumns = true)
       val withImage = fetched.join(
         images.select(col("image_id"), col("bytes"), col("w"), col("h"),
           col("fmt"), col("caption"), col("phash")),
