@@ -136,6 +136,34 @@ object CrawlQueries {
       |FROM documents WHERE doc_id < 200
       |ORDER BY doc_id""".stripMargin
 
+  // --- image near-dup by perceptual hash (image-payload dedup) ---------------
+
+  /** Deterministic image corpus with planted duplicates: seed = doc_id % 100
+    * at fixed dims/format, so same-seed images are byte-identical (phash
+    * Hamming 0) and the oracle is the same-seed self-join in closed form.
+    * maxDistance = 0 (exact perceptual hash): a perceptual hash is MEANT to
+    * collide on visually-similar content, and the synthetic gradient space
+    * is small — at 48x32 exactly one cross-seed pair (seeds 64/77) shares a
+    * phash, so that seed is excluded on both sides to keep the oracle in
+    * closed form. The query still drives the full decode → phash → banding
+    * → bucket-cap → verify pipeline. */
+  def qDedupPhash(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val imgs = t(s, dir, "documents")
+      .filter(col("doc_id") < 500 && col("doc_id") % 100 =!= 77)
+      .select(col("doc_id"),
+        GraftFunctions.genImage(col("doc_id") % 100, lit(48), lit(32), lit("png")).as("bytes"))
+    graft.ops.Dedup.phashPairs(imgs, "doc_id", "bytes", maxDistance = 0)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val qDedupPhashSql: String =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS INT) AS hamming
+      |FROM (SELECT doc_id FROM documents WHERE doc_id < 500 AND doc_id % 100 <> 77) a
+      |JOIN (SELECT doc_id FROM documents WHERE doc_id < 500 AND doc_id % 100 <> 77) b
+      |  ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- WARC source round-trip (S1 RetryWarcReader analog) ----------------------
 
   /** One-time SETUP for [[qWarcRead]]: deterministic WARC fixtures from
@@ -196,13 +224,15 @@ object CrawlQueries {
     "q_warc_read" -> (qWarcRead _),
     "q_frontier_schedule" -> (qFrontierSchedule _),
     "q_url_host_domain" -> (qUrlHostDomain _),
-    "q_image_roundtrip" -> (qImageRoundtrip _)
+    "q_image_roundtrip" -> (qImageRoundtrip _),
+    "q_dedup_phash" -> (qDedupPhash _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_warc_read" -> qWarcReadSql,
     "q_frontier_schedule" -> qFrontierScheduleSql,
     "q_url_host_domain" -> qUrlHostDomainSql,
-    "q_image_roundtrip" -> qImageRoundtripSql
+    "q_image_roundtrip" -> qImageRoundtripSql,
+    "q_dedup_phash" -> qDedupPhashSql
   )
 }

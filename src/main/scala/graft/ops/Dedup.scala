@@ -145,9 +145,42 @@ object Dedup {
     labels
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole: any pair
-    * within Hamming distance ≤3 shares at least one exact 16-bit band), then
-    * exact Hamming verification ≤ `maxDistance`. */
+  /** Generic 64-bit-signature near-dup pairs: 4×16-bit band blocking
+    * (pigeonhole: any pair within Hamming distance ≤3 shares at least one
+    * exact 16-bit band), then exact Hamming verification ≤ `maxDistance`.
+    * Works for ANY 64-bit perceptual signature — text simhash, image phash.
+    *
+    * @param sigs (id, sig: long)
+    */
+  def hammingPairs64(
+      sigs: DataFrame,
+      maxDistance: Int,
+      maxBucketSize: Int,
+      observeName: String): DataFrame = {
+    val banded = sigs.select(col("id"), col("sig"), posexplode(array(
+      (0 until 4).map(j =>
+        shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+      .withColumn("bucket_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key")).orderBy(col("id"))))
+      .observe(observeName,
+        sum(when(col("bucket_rank") > maxBucketSize, 1L).otherwise(0L))
+          .as("rows_dropped_by_bucket_cap"))
+      .filter(col("bucket_rank") <= maxBucketSize)
+
+    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** SimHash near-dup pairs over text (see [[hammingPairs64]]), with
+    * optional exact shingle-Jaccard confirmation. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -162,26 +195,8 @@ object Dedup {
       GraftFunctions.simhash64(col(textCol)).as("sig"),
       shingleSet(col(textCol), shingleSize).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"), col("sig"), posexplode(array(
-      (0 until 4).map(j =>
-        shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-      .withColumn("bucket_rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key")).orderBy(col("id"))))
-      .observe("simhash_bucket_cap",
-        sum(when(col("bucket_rank") > maxBucketSize, 1L).otherwise(0L))
-          .as("rows_dropped_by_bucket_cap"))
-      .filter(col("bucket_rank") <= maxBucketSize)
-
-    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("sig").as("b_sig"))
-    val pairs = a.join(b, Seq("band", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDistance)
+    val pairs = hammingPairs64(sigs.select(col("id"), col("sig")),
+      maxDistance, maxBucketSize, "simhash_bucket_cap")
     if (jaccardThreshold <= 0.0) pairs
     else {
       // optional exact content confirmation: kills hash-collision pairs of
@@ -192,5 +207,23 @@ object Dedup {
         .filter(jaccard(col("a_toks"), col("b_toks")) >= jaccardThreshold)
         .select(col("a_id"), col("b_id"), col("hamming"))
     }
+  }
+
+  /** Image near-duplicates by perceptual-hash Hamming distance — the IMAGE
+    * analog of [[simhashPairs]] for the image+caption corpus: one
+    * decode+phash per blob (fused kernel), then the same band-bucketed
+    * candidate generation and exact verify. At 100 TB the blobs never
+    * shuffle: only (id, 64-bit sig) enters the banding exchange. */
+  def phashPairs(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    hammingPairs64(
+      df.select(col(idCol).as("id"),
+        GraftFunctions.phash64(col(bytesCol)).as("sig")),
+      maxDistance, maxBucketSize, "phash_bucket_cap")
   }
 }

@@ -131,6 +131,24 @@ class DedupAnnSpec extends SparkSpecBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("phashPairs: lossy near-duplicate images found (jpeg vs png, same content)") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (0 until 40).flatMap(s => Seq((2L * s, s.toLong), (2L * s + 1, s.toLong)))
+      .toDF("id", "seed")
+      .withColumn("fmt", when(col("id") % 2 === 0, lit("png")).otherwise(lit("jpeg")))
+      .withColumn("bytes",
+        GraftFunctions.genImage(col("seed"), lit(64), lit(48), col("fmt")))
+    val pairs = Dedup.phashPairs(df, "id", "bytes", maxDistance = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // every png/jpeg pair of the same content survives the lossy encode
+    // within the pigeonhole-complete Hamming bound
+    (0 until 40).foreach { s =>
+      assert(pairs.contains((2L * s, 2L * s + 1)), s"seed $s png/jpeg pair missing")
+    }
+  }
+
   test("ivfTopK: self-neighbors always found; good recall vs brute force") {
     import spark.implicits._
     val vecs = (0 until 200).map { i =>
