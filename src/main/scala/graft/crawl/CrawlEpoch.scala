@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object CrawlEpoch {
 
-  /** Small dedicated pool for the concurrent epoch stages (Spark actions are
-    * driver-blocking; four suffice). Daemon threads: the pool must not keep
+  /** Pool for the concurrent epoch stages (Spark actions are
+    * driver-blocking). Cached: pipelined execution keeps one out-stage per
+    * in-flight epoch outstanding. Daemon threads: the pool must not keep
     * the JVM alive after main returns. */
   private lazy val stageEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
         val t = new Thread(r, "graft-epoch-stage")
         t.setDaemon(true)
         t
@@ -39,6 +40,16 @@ object CrawlEpoch {
       decodeOk: Long,
       newFrontier: Long)
 
+  /** An epoch whose crawl-STATE stages (robots, schedule, seen, frontier)
+    * are committed — the next epoch may start — while the fetch/decode/
+    * annotate sink stage may still be running. See [[start]]/[[finish]]. */
+  final case class RunningEpoch(
+      epoch: Long,
+      scheduled: Long,
+      newFrontier: Long,
+      outDone: scala.concurrent.Future[Unit],
+      private[crawl] val outTable: SnapshotTable)
+
   def frontierTable(stateRoot: String, spark: SparkSession) =
     new SnapshotTable(s"$stateRoot/frontier", spark)
 
@@ -46,7 +57,7 @@ object CrawlEpoch {
   def seed(stateRoot: String, spark: SparkSession, seeds: DataFrame): Unit =
     frontierTable(stateRoot, spark).commit(seeds, Map("stage" -> "seed"))
 
-  /** Run (or resume) epoch `epoch`. */
+  /** Run (or resume) epoch `epoch`, awaiting every stage. */
   def run(
       stateRoot: String,
       spark: SparkSession,
@@ -55,7 +66,28 @@ object CrawlEpoch {
       robots: Option[DataFrame],
       budgetPerHost: Int,
       epoch: Long,
-      linkPriorityDecay: Double = 0.8): EpochMetrics = {
+      linkPriorityDecay: Double = 0.8): EpochMetrics =
+    finish(start(stateRoot, spark, pages, images, robots, budgetPerHost,
+      epoch, linkPriorityDecay))
+
+  /** PIPELINED epoch entry: returns once the crawl-STATE stages (robots
+    * cache, schedule, seen set, next frontier) are committed — everything
+    * epoch N+1 depends on — while the fetch/decode/annotate sink stage keeps
+    * running in `outDone`. Calling `start(N+1)` immediately after `start(N)`
+    * overlaps N+1's scheduling with N's fetch work: sustained multi-epoch
+    * throughput is then bounded by max(state-stage time, out-stage time)
+    * instead of their sum. Out-of-order out commits are safe: commits are
+    * serialized per table root and [[finish]] locates the epoch's snapshot
+    * by manifest lineage, not the `current` pointer. */
+  def start(
+      stateRoot: String,
+      spark: SparkSession,
+      pages: DataFrame,
+      images: DataFrame,
+      robots: Option[DataFrame],
+      budgetPerHost: Int,
+      epoch: Long,
+      linkPriorityDecay: Double = 0.8): RunningEpoch = {
     GraftFunctions.register(spark)
     val frontier = frontierTable(stateRoot, spark)
     val seen = new SeenSet(s"$stateRoot/seen", spark)
@@ -220,34 +252,46 @@ object CrawlEpoch {
     // Stages 2-4 depend only on the committed schedule + static corpus
     // tables: run them as CONCURRENT Spark jobs, so epoch wall clock is
     // schedule + max(2,3,4) instead of the sum, and one stage's tasks fill
-    // cores another leaves idle. Resume markers stay per-stage.
-    {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec = CrawlEpoch.stageEc
-      Await.result(Future.sequence(Seq(
-        Future(timed("out")(runOutStage())),
-        Future(timed("seen")(runSeenStage())),
-        Future(timed("frontier")(runFrontierStage())),
-        Future(timed("robots")(runRobotsStage())))),
-        Duration.Inf)
-    }
+    // cores another leaves idle. Resume markers stay per-stage. The STATE
+    // stages (seen, frontier, robots) are awaited here — epoch N+1 needs
+    // them — while the out SINK stage is handed back as a future.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = CrawlEpoch.stageEc
+    val outF = Future(timed("out")(runOutStage()))
+    Await.result(Future.sequence(Seq(
+      Future(timed("seen")(runSeenStage())),
+      Future(timed("frontier")(runFrontierStage())),
+      Future(timed("robots")(runRobotsStage())))),
+      Duration.Inf)
 
-    // metrics: snapshot manifests carry row counts (no recount jobs); the
-    // out-table breakdown is ONE aggregate job
-    val outStats = outTable.read().agg(
-      count(when(col("fetch_status") === 200, 1)).as("fetched"),
-      count(when(col("license_abbr").isNotNull, 1)).as("licensed"),
-      count(when(col("pixels_ok") && col("phash_ok"), 1)).as("decode_ok")
-    ).collect()(0)
-    EpochMetrics(
+    RunningEpoch(
       epoch = epoch,
-      scheduled = schedTable.manifest(schedTable.currentSnapshotId.get)
-        .map(_.get("row_count").asLong).getOrElse(0L),
-      fetched = outStats.getLong(0),
-      licensed = outStats.getLong(1),
-      decodeOk = outStats.getLong(2),
-      newFrontier = frontier.manifest(frontier.currentSnapshotId.get)
-        .map(_.get("row_count").asLong).getOrElse(0L))
+      scheduled = schedTable.snapshotForLineage("epoch", epoch.toString)
+        .flatMap(schedTable.manifest).map(_.get("row_count").asLong).getOrElse(0L),
+      newFrontier = frontier.snapshotForLineage("epoch", epoch.toString)
+        .flatMap(frontier.manifest).map(_.get("row_count").asLong).getOrElse(0L),
+      outDone = outF,
+      outTable = outTable)
+  }
+
+  /** Await the epoch's sink stage and assemble its metrics. The out-table
+    * breakdown is ONE aggregate job over the epoch's own snapshot (located
+    * by lineage — pipelined later epochs may have committed after it). */
+  def finish(r: RunningEpoch): EpochMetrics = {
+    scala.concurrent.Await.result(r.outDone, scala.concurrent.duration.Duration.Inf)
+    val outStats = r.outTable.snapshotForLineage("epoch", r.epoch.toString)
+      .map(id => r.outTable.readAt(id).agg(
+        count(when(col("fetch_status") === 200, 1)).as("fetched"),
+        count(when(col("license_abbr").isNotNull, 1)).as("licensed"),
+        count(when(col("pixels_ok") && col("phash_ok"), 1)).as("decode_ok")
+      ).collect()(0))
+    EpochMetrics(
+      epoch = r.epoch,
+      scheduled = r.scheduled,
+      fetched = outStats.map(_.getLong(0)).getOrElse(0L),
+      licensed = outStats.map(_.getLong(1)).getOrElse(0L),
+      decodeOk = outStats.map(_.getLong(2)).getOrElse(0L),
+      newFrontier = r.newFrontier)
   }
 }

@@ -79,8 +79,25 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
       case None => Nil
     }
 
+  /** Find the snapshot whose manifest lineage has `key` → `value` (newest
+    * first) — e.g. the out-table snapshot of a given epoch when commits from
+    * pipelined epochs may land out of order. */
+  def snapshotForLineage(key: String, value: String): Option[Long] = {
+    val cur = currentSnapshotId.getOrElse(return None)
+    (cur to 1L by -1L).find { id =>
+      manifest(id).exists { m =>
+        m.has("lineage") && m.get("lineage").has(key) &&
+          m.get("lineage").get(key).asText == value
+      }
+    }
+  }
+
   private def commitInternal(df: DataFrame, lineage: Map[String, String],
-      partitionBy: Seq[String], delta: Boolean): Long = {
+      partitionBy: Seq[String], delta: Boolean): Long =
+    // serialize commits per table ROOT (not per instance): pipelined epochs
+    // commit to the same table from different SnapshotTable instances, and
+    // the id = current+1 / pointer flip sequence must not interleave
+    SnapshotTable.rootLock(root).synchronized {
     Files.createDirectories(snapDir)
     val parent = currentSnapshotId
     val id = parent.getOrElse(0L) + 1L
@@ -186,4 +203,12 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
 
   def stageDone(epoch: Long, stage: String): Boolean =
     Files.exists(Paths.get(root, "stages", s"e$epoch-$stage"))
+}
+
+object SnapshotTable {
+  // per-root commit locks (JVM-wide; cross-process safety comes from the
+  // atomic rename protocol, this guards same-JVM pipelined commits)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[table] def rootLock(root: String): AnyRef =
+    locks.computeIfAbsent(root, _ => new AnyRef)
 }

@@ -170,6 +170,39 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(a._2.nonEmpty)
   }
 
+  test("pipelined epochs: byte-identical state vs sequential execution") {
+    val (pages, images, seeds, robots) = corpus()
+    val rootA = Files.createTempDirectory("crawlSeq").toString
+    val rootB = Files.createTempDirectory("crawlPipe").toString
+    CrawlEpoch.seed(rootA, spark, seeds)
+    CrawlEpoch.seed(rootB, spark, seeds)
+    val seq = (1 to 3).map(e =>
+      CrawlEpoch.run(rootA, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = e))
+    // pipelined: epoch N+1 starts while epoch N's out stage is still running
+    val handles = (1 to 3).map(e =>
+      CrawlEpoch.start(rootB, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = e))
+    val pipe = handles.map(CrawlEpoch.finish)
+    assert(pipe === seq, "metrics differ between pipelined and sequential")
+    // per-epoch out snapshots byte-identical (located by lineage: pipelined
+    // commits may land out of order)
+    (1 to 3).foreach { e =>
+      def outOf(root: String) = {
+        val t = new SnapshotTable(s"$root/out", spark)
+        t.readAt(t.snapshotForLineage("epoch", e.toString).get)
+          .select(col("canon_url"), col("fetch_status"), col("license_abbr"),
+            col("phash_ok"), col("host_rank"))
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(outOf(rootA) === outOf(rootB), s"epoch $e out differs")
+    }
+    // final seen sets identical
+    val seenA = new graft.frontier.SeenSet(s"$rootA/seen", spark)
+      .keys().collect().map(_.getLong(0)).sorted.toSeq
+    val seenB = new graft.frontier.SeenSet(s"$rootB/seen", spark)
+      .keys().collect().map(_.getLong(0)).sorted.toSeq
+    assert(seenA === seenB)
+  }
+
   test("mid-epoch resume: pre-completed schedule stage is not redone and output matches a clean run") {
     val (pages, images, seeds, robots) = corpus()
     val rootA = Files.createTempDirectory("crawlB1").toString
