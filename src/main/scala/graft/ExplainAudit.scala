@@ -16,10 +16,37 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_containment_join", "q_anti_join", "q_minlen_filter",
-      "q_topk_groups", "q_license_extract", "q_frontier_schedule", "q_ann_topk")
+      "q_topk_groups", "q_license_extract", "q_frontier_schedule", "q_ann_topk",
+      "q_dedup_phash")
     names.foreach { n =>
       println(s"\n================ $n ================")
       Queries.all(n)(spark, sfDir).explain("formatted")
+    }
+
+    // crawl-epoch stage plans with a NON-EMPTY seen set (the per-epoch
+    // steady state): the schedule must show ONE scan of the frontier with
+    // the codegen'd bloom probe feeding the anti-join, and the fetch join
+    // must be a broadcast of the schedule (corpus side never exchanges)
+    {
+      import graft.frontier.{Scheduler, SeenSet}
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(spark)
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("audit-seen").toString
+      val seen = new SeenSet(root, spark)
+      seen.add((0L until 10000L).toDF("url_hash"))
+      val frontier = graft.gen.SyntheticCorpus.seedUrls(spark, 20000, pageCount = 10000)
+      println("\n================ crawl: schedule (seen set non-empty) ================")
+      Scheduler.scheduleEpoch(frontier, seen, Some(graft.gen.SyntheticCorpus.robots(spark)),
+        budgetPerHost = 5).explain("formatted")
+      println("\n================ crawl: fetch join (broadcast schedule) ================")
+      val pages = graft.gen.SyntheticCorpus.pages(spark, 5000)
+        .withColumnsRenamed(Map("url" -> "page_url"))
+        .withColumn("page_hash", graft.functions.GraftFunctions.urlHash64(col("page_url")))
+      val sched = Scheduler.scheduleEpoch(frontier, seen, None, budgetPerHost = 5)
+      pages.join(broadcast(sched),
+        col("url_hash") === col("page_hash") && col("canon_url") === col("page_url"),
+        "inner").explain("formatted")
     }
     spark.stop()
   }
