@@ -83,12 +83,16 @@ object Bench {
       else Files.createTempDirectory("bench-crawl").toString
     // The corpus is INPUT (a stand-in for remote content + a fetched image
     // store): materialize it before the timer so the measured number is
-    // engine throughput, not synthetic-HTML generation.
-    val pages = SyntheticCorpus.pages(spark, nPages)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // engine throughput, not synthetic-HTML generation. Corpora past ~4M
+    // pages exceed the 8 GB heap as deserialized cache — store them
+    // DISK_ONLY, which on this VM is tmpfs (RAM speed, off-heap), the local
+    // stand-in for a cluster's page-cache-backed local storage.
+    val corpusLevel =
+      if (nPages > 4000000L) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pages = SyntheticCorpus.pages(spark, nPages).persist(corpusLevel)
     pages.count()
-    val images = SyntheticCorpus.images(spark, nImages)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val images = SyntheticCorpus.images(spark, nImages).persist(corpusLevel)
     val nImagesReal = images.count()
     val seeds = SyntheticCorpus.seedUrls(spark, nPages * 2, pageCount = nPages)
     val robots = SyntheticCorpus.robots(spark)

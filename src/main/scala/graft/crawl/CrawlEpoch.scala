@@ -158,23 +158,35 @@ object CrawlEpoch {
 
     // --- stage 2: fetch + decode + annotate → out ---------------------------
     def runOutStage(): Unit = if (!outTable.stageDone(epoch, "out")) {
-      // Fetch join, 100 TB shape: the page corpus NEVER shuffles. The
-      // scheduled set is politeness-bounded (small) and broadcast, so hits
-      // stream straight out of the corpus scan (no exchange of html bytes);
-      // misses (404s) are recovered by anti-joining scheduled against the
-      // corpus KEY columns only — column pruning keeps that scan narrow.
-      // Round 1's left join SMJ-shuffled the whole corpus including html
-      // every epoch.
-      val hit = pagesHashed.join(
-        broadcast(scheduled),
-        col("url_hash") === col("page_hash") &&
-          col("canon_url") === col("page_url"), "inner")
-        .drop("page_hash")
-      val miss = scheduled.join(
-        pagesHashed.select(col("page_hash"), col("page_url")),
-        col("url_hash") === col("page_hash") &&
-          col("canon_url") === col("page_url"), "left_anti")
-      val fetched = hit.unionByName(miss, allowMissingColumns = true)
+      // Fetch join, 100 TB shape: the page corpus NEVER shuffles when the
+      // politeness-bounded schedule fits a broadcast — hits stream straight
+      // out of the corpus scan (no exchange of html bytes) and misses (404s)
+      // are recovered by anti-joining scheduled against the corpus KEY
+      // columns only (column pruning keeps that scan narrow). A schedule too
+      // large to broadcast (manifest row count is free — no job) falls back
+      // to the hash-keyed shuffle join: correct at any size, just pays the
+      // corpus exchange. Round 1 always shuffled.
+      val schedRows = schedTable.snapshotForLineage("epoch", epoch.toString)
+        .flatMap(schedTable.manifest)
+        .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
+      val broadcastMax = sys.env.getOrElse("SPARK_GRAFT_BCAST_SCHED_MAX", "4000000").toLong
+      val fetched = if (schedRows <= broadcastMax) {
+        val hit = pagesHashed.join(
+          broadcast(scheduled),
+          col("url_hash") === col("page_hash") &&
+            col("canon_url") === col("page_url"), "inner")
+          .drop("page_hash")
+        val miss = scheduled.join(
+          pagesHashed.select(col("page_hash"), col("page_url")),
+          col("url_hash") === col("page_hash") &&
+            col("canon_url") === col("page_url"), "left_anti")
+        hit.unionByName(miss, allowMissingColumns = true)
+      } else {
+        scheduled.join(pagesHashed,
+          scheduled("url_hash") === col("page_hash") &&
+            scheduled("canon_url") === col("page_url"), "left")
+          .drop("page_hash")
+      }
       val withImage = fetched.join(
         images.select(col("image_id"), col("bytes"), col("w"), col("h"),
           col("fmt"), col("caption"), col("phash")),
