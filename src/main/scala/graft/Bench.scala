@@ -103,10 +103,12 @@ object Bench {
     // quantities (corpus synthesis + seed install happen before any timer),
     // and "epoch_sec" exposes the per-epoch breakdown so flatness of the
     // seen-set update across epochs is visible in the bench JSON itself
-    // SPARK_GRAFT_PIPELINE=1 overlaps epoch N+1's state stages with epoch
-    // N's fetch/decode sink (CrawlEpoch.start/finish); per-epoch times then
-    // measure the state stages only and the total is the pipelined wall.
-    val pipelined = sys.env.get("SPARK_GRAFT_PIPELINE").contains("1") && nEpochs > 1
+    // Multi-epoch runs PIPELINE by default (epoch N+1's state stages overlap
+    // epoch N's fetch/decode sink via CrawlEpoch.start/finish; measured 1.34×
+    // on 5 epochs); per-epoch times then measure the state stages only and
+    // the total is the pipelined wall. SPARK_GRAFT_PIPELINE=0 forces the
+    // sequential run/finish path (e.g. to read per-epoch full-epoch times).
+    val pipelined = !sys.env.get("SPARK_GRAFT_PIPELINE").contains("0") && nEpochs > 1
     val (epochResults, crawlSecs) =
       if (pipelined) {
         val t0 = System.nanoTime()

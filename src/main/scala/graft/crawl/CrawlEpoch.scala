@@ -77,8 +77,10 @@ object CrawlEpoch {
     * overlaps N+1's scheduling with N's fetch work: sustained multi-epoch
     * throughput is then bounded by max(state-stage time, out-stage time)
     * instead of their sum. Out-of-order out commits are safe: commits are
-    * serialized per table root and [[finish]] locates the epoch's snapshot
-    * by manifest lineage, not the `current` pointer. */
+    * serialized per table root, [[finish]] locates the epoch's snapshot by
+    * manifest lineage, and the out table's `current` pointer never regresses
+    * to an older epoch (a late-landing earlier epoch is recorded but does not
+    * steal the pointer), so plain readers always see the newest epoch. */
   def start(
       stateRoot: String,
       spark: SparkSession,

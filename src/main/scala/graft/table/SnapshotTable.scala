@@ -46,6 +46,24 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     if (Files.exists(p)) Some(mapper.readTree(p.toFile)) else None
   }
 
+  /** Highest manifest id on disk. May exceed [[currentSnapshotId]]: after a
+    * rollback, or when a pipelined EARLIER epoch's commit lands after a later
+    * one (the pointer never regresses to an older epoch — see
+    * [[commitInternal]]). New ids are allocated past this, so rolled-back or
+    * out-of-order snapshots are never overwritten. */
+  private def maxManifestId: Option[Long] =
+    if (!Files.exists(snapDir)) None
+    else {
+      val ids = Files.list(snapDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json")
+        }
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .toSeq
+      if (ids.isEmpty) None else Some(ids.max)
+    }
+
   /** Commit `df` as the next snapshot. The data is written to a fresh
     * snapshot-private directory first; the manifest + `current` pointer flip
     * only after a successful write, so readers never observe partial data
@@ -83,7 +101,10 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     * first) — e.g. the out-table snapshot of a given epoch when commits from
     * pipelined epochs may land out of order. */
   def snapshotForLineage(key: String, value: String): Option[Long] = {
-    val cur = currentSnapshotId.getOrElse(return None)
+    // search from the highest manifest, not `current`: an out-of-order
+    // pipelined commit may have an id above the pointer
+    val cur = math.max(currentSnapshotId.getOrElse(return None),
+      maxManifestId.getOrElse(0L))
     (cur to 1L by -1L).find { id =>
       manifest(id).exists { m =>
         m.has("lineage") && m.get("lineage").has(key) &&
@@ -100,7 +121,10 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     SnapshotTable.rootLock(root).synchronized {
     Files.createDirectories(snapDir)
     val parent = currentSnapshotId
-    val id = parent.getOrElse(0L) + 1L
+    // allocate past the highest manifest ever written, not past `current`:
+    // after a rollback (current < max) a naive current+1 would collide with
+    // and clobber an existing snapshot's manifest
+    val id = math.max(parent.getOrElse(0L), maxManifestId.getOrElse(0L)) + 1L
     val dir = dataDir(id)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -149,10 +173,28 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     Files.move(tmp, snapDir.resolve(s"v$id.json"), StandardCopyOption.ATOMIC_MOVE)
 
-    val curTmp = snapDir.resolve("current.tmp")
-    Files.write(curTmp, id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(curTmp, snapDir.resolve("current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // `current` never regresses to an OLDER epoch: pipelined epochs commit
+    // out of completion order, and a reader of `current` must see the newest
+    // epoch's snapshot, not the last-landed one. A commit whose epoch lineage
+    // is older than the current snapshot's is fully recorded (manifest +
+    // data; readable via readAt/snapshotForLineage) but leaves the pointer.
+    def epochOf(sid: Long): Option[Long] =
+      manifest(sid).flatMap { mm =>
+        if (mm.has("lineage") && mm.get("lineage").has("epoch"))
+          scala.util.Try(mm.get("lineage").get("epoch").asText.toLong).toOption
+        else None
+      }
+    val regresses = (for {
+      cur <- parent
+      curEpoch <- epochOf(cur)
+      newEpoch <- lineage.get("epoch").flatMap(s => scala.util.Try(s.toLong).toOption)
+    } yield newEpoch < curEpoch).getOrElse(false)
+    if (!regresses) {
+      val curTmp = snapDir.resolve("current.tmp")
+      Files.write(curTmp, id.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(curTmp, snapDir.resolve("current"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     id
   }
 

@@ -203,6 +203,33 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(seenA === seenB)
   }
 
+  test("snapshot pointer never regresses to an older epoch; rollback never clobbers snapshots") {
+    import spark.implicits._
+    // out-of-order pipelined commits: epoch 3's out lands before epoch 2's
+    val root = Files.createTempDirectory("snapOrder").toString
+    val t = new SnapshotTable(s"$root/out", spark)
+    t.commit(Seq((1L, "a")).toDF("epoch_row", "v"), Map("epoch" -> "1"))
+    t.commit(Seq((3L, "c")).toDF("epoch_row", "v"), Map("epoch" -> "3"))
+    val lateId = t.commit(Seq((2L, "b")).toDF("epoch_row", "v"), Map("epoch" -> "2"))
+    // plain readers see the NEWEST epoch, not the last-landed commit
+    assert(t.read().select("epoch_row").as[Long].collect().toSeq === Seq(3L))
+    // the late commit is still fully recorded and locatable by lineage
+    assert(t.snapshotForLineage("epoch", "2") === Some(lateId))
+    assert(t.readAt(lateId).select("v").as[String].collect().toSeq === Seq("b"))
+
+    // rollback then re-add: new ids allocate past the max manifest, the
+    // rolled-back-over snapshot stays intact
+    val seen = new graft.frontier.SeenSet(s"$root/seen", spark)
+    seen.add(Seq(10L, 11L).toDF("url_hash"))
+    val idB = seen.add(Seq(12L).toDF("url_hash"))
+    seen.rollbackTo(1L)
+    val idC = seen.add(Seq(13L).toDF("url_hash"))
+    assert(idC > idB, "post-rollback commit must not reuse a live snapshot id")
+    assert(seen.table.readAt(idB).count() === 3, "rolled-back-over snapshot was clobbered")
+    val cur = seen.keys().as[Long].collect().toSet
+    assert(cur === Set(10L, 11L, 13L))
+  }
+
   test("mid-epoch resume: pre-completed schedule stage is not redone and output matches a clean run") {
     val (pages, images, seeds, robots) = corpus()
     val rootA = Files.createTempDirectory("crawlB1").toString
