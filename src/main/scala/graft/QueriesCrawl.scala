@@ -67,6 +67,30 @@ object CrawlQueries {
        |WHERE host_rank <= 2
        |ORDER BY priority DESC, canon_url""".stripMargin
 
+  // --- seen-set retraction (cuckoo deletion path) -------------------------------
+
+  /** Seen-set lifecycle under the oracle: add (Bloom sidecars), RETRACT
+    * (exact tombstones + cuckoo sidecar), re-add (in-place cuckoo delete of
+    * the tombstone), then a full-membership probe through [[SeenSet
+    * .filterUnseen]]. Closed form: seen = 3|doc_id, retracted = 21|doc_id,
+    * re-added = 42|doc_id ⇒ unseen = ¬(3|id) ∨ (21|id ∧ ¬(42|id)). */
+  def qSeenRetract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val seen = new SeenSet(
+      java.nio.file.Files.createTempDirectory("qsr-seen").toString, s)
+    seen.add(docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("url_hash")))
+    seen.retract(docs.filter(col("doc_id") % 21 === 0).select(col("doc_id").as("url_hash")))
+    seen.add(docs.filter(col("doc_id") % 42 === 0).select(col("doc_id").as("url_hash")))
+    seen.filterUnseen(docs.select(col("doc_id").as("url_hash")))
+      .select(col("url_hash").as("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSeenRetractSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE doc_id % 3 <> 0 OR (doc_id % 21 = 0 AND doc_id % 42 <> 0)
+      |ORDER BY doc_id""".stripMargin
+
   // --- registered domain / host extraction ------------------------------------
 
   def qUrlHostDomain(s: SparkSession, dir: String): DataFrame = {
@@ -223,6 +247,7 @@ object CrawlQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_read" -> (qWarcRead _),
     "q_frontier_schedule" -> (qFrontierSchedule _),
+    "q_seen_retract" -> (qSeenRetract _),
     "q_url_host_domain" -> (qUrlHostDomain _),
     "q_image_roundtrip" -> (qImageRoundtrip _),
     "q_dedup_phash" -> (qDedupPhash _)
@@ -231,6 +256,7 @@ object CrawlQueries {
   def oracles: Map[String, String] = Map(
     "q_warc_read" -> qWarcReadSql,
     "q_frontier_schedule" -> qFrontierScheduleSql,
+    "q_seen_retract" -> qSeenRetractSql,
     "q_url_host_domain" -> qUrlHostDomainSql,
     "q_image_roundtrip" -> qImageRoundtripSql,
     "q_dedup_phash" -> qDedupPhashSql

@@ -289,6 +289,36 @@ object CrawlEpoch {
       outTable = outTable)
   }
 
+  /** Re-queue an epoch's FAILED fetches for retry (the reference retries
+    * transient HTTP failures up to 100 times, `retry_warc.py:54-57`; at
+    * 10^10-URL scale transient failures are the norm, and without this a
+    * URL that 404'd once is lost forever): the failed URLs' keys are
+    * RETRACTED from the seen set ([[SeenSet.retract]] — exact tombstones +
+    * cuckoo sidecar, cleared automatically when the retry epoch re-adds
+    * them) and appended to the frontier as a delta, so the next epoch's
+    * schedule sees them again. Returns the number of URLs re-queued. */
+  def requeueFailures(
+      stateRoot: String,
+      spark: SparkSession,
+      epoch: Long,
+      retryStatuses: Seq[Int] = Seq(404),
+      retryPriority: Double = 1.0): Long = {
+    val outTable = new SnapshotTable(s"$stateRoot/out", spark)
+    val frontier = frontierTable(stateRoot, spark)
+    val seen = new SeenSet(s"$stateRoot/seen", spark)
+    val snap = outTable.snapshotForLineage("epoch", epoch.toString)
+      .getOrElse(sys.error(s"no out snapshot for epoch $epoch under $stateRoot"))
+    val failed = outTable.readAt(snap)
+      .filter(col("fetch_status").isin(retryStatuses: _*))
+      .select(col("canon_url").as("url"), col("url_hash")).distinct()
+    seen.retract(failed.select(col("url_hash")),
+      Map("epoch" -> epoch.toString, "stage" -> "requeue"))
+    val fid = frontier.commitDelta(
+      failed.select(col("url"), lit(retryPriority).as("priority")),
+      Map("epoch" -> epoch.toString, "stage" -> "requeue"))
+    frontier.manifest(fid).map(_.get("delta_rows").asLong).getOrElse(0L)
+  }
+
   /** Await the epoch's sink stage and assemble its metrics. The out-table
     * breakdown is ONE aggregate job over the epoch's own snapshot (located
     * by lineage — pipelined later epochs may have committed after it). */

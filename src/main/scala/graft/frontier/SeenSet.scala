@@ -37,9 +37,13 @@ import org.apache.spark.util.sketch.BloomFilter
   *   - `mightContain == true` ⇒ maybe seen → confirmed by an exact
   *     `left_anti` join, so no URL is ever falsely dropped.
   *
-  * Bloom sidecars are insert-only (epoch replays are no-ops); rollback =
-  * snapshot-pointer flip ([[rollbackTo]], sidecars are per-snapshot); the
-  * [[CuckooFilter]] covers intra-epoch single-key deletes.
+  * Bloom sidecars are insert-only (epoch replays are no-ops). DELETION has
+  * two granularities: whole-epoch rollback = snapshot-pointer flip
+  * ([[rollbackTo]], sidecars are per-snapshot), and per-key [[retract]]
+  * (failed-fetch retry / forced recrawl) = exact tombstone table + a
+  * deletion-capable [[CuckooFilter]] sidecar probed by [[liveKeys]] — the
+  * north rule's "falling back to cuckoo for deletions": re-adding a key
+  * deletes its tombstone fingerprint in place, which a Bloom filter cannot.
   *
   * @param expectedKeys sizing hint for the first Bloom build; underestimating
   *        only triggers an earlier compaction, never wrong answers.
@@ -51,15 +55,122 @@ final class SeenSet(root: String, spark: SparkSession,
 
   val table = new SnapshotTable(root, spark)
 
+  /** Tombstones: keys retracted from the set (forced recrawl / failed-fetch
+    * retry) until re-added. Exact membership lives in this small snapshot
+    * table; the fast probe is a CUCKOO sidecar per tombstone snapshot —
+    * deletion-capable, so a re-add removes the key's fingerprint in place
+    * instead of rebuilding (a Bloom filter cannot delete). Tombstone sets are
+    * epoch-delta sized by contract (retraction is episodic — a failed epoch's
+    * URLs — never the accumulated crawl), so one unsharded filter built on
+    * the driver suffices: 10^8 tombstones ≈ 250 MB at 16 bits/key. */
+  private val tombTable = new SnapshotTable(s"$root/tombstones", spark)
+
   private def bloomPath(id: Long, shard: Int) =
     Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin")
   private def metaPath = Paths.get(root, "snapshots", "bloom-meta.json")
+  private def cuckooPath(tid: Long) =
+    Paths.get(root, "tombstones", "snapshots", s"cuckoo-v$tid.bin")
 
   def isEmpty: Boolean = !table.exists
 
+  /** Raw committed keys, INCLUDING retracted ones (the key table is
+    * append-only; retraction is a tombstone). Effective membership is
+    * [[liveKeys]]. */
   def keys(): DataFrame =
     if (table.exists) table.read().select(col("url_hash"))
     else spark.range(0).select(col("id").as("url_hash"))
+
+  private def tombstoneCount: Long =
+    tombTable.currentSnapshotId.flatMap(tombTable.manifest)
+      .map(_.get("row_count").asLong).getOrElse(0L)
+
+  /** Effective membership: committed keys minus tombstones. The cuckoo probe
+    * gates the exact tombstone anti-join — a key the filter rejects is
+    * definitely not retracted and pays no join work, so the common case
+    * (zero or few tombstones) adds nothing to the keys scan. */
+  def liveKeys(): DataFrame = {
+    val k = keys()
+    val tid = tombTable.currentSnapshotId
+    if (tombstoneCount == 0L || tid.isEmpty) k
+    else {
+      val tombs = tombTable.read().withColumnRenamed("url_hash", "__tomb_hash")
+      if (Files.exists(cuckooPath(tid.get))) {
+        GraftFunctions.register(spark)
+        val probe = call_function("cuckoo_might_contain",
+          col("url_hash"), lit(s"$root/tombstones"), lit(tid.get))
+        k.withColumn("__maybe_retracted", probe)
+          .join(broadcast(tombs),
+            col("url_hash") === col("__tomb_hash") && col("__maybe_retracted"),
+            "left_anti")
+          .drop("__maybe_retracted")
+      } else { // sidecar lost (crash between commit and write): exact-only path
+        k.join(broadcast(tombs), col("url_hash") === col("__tomb_hash"), "left_anti")
+      }
+    }
+  }
+
+  /** RETRACT keys from the seen set (north rule "falling back to cuckoo for
+    * deletions"): the keys become unseen — eligible for rescheduling — until
+    * re-[[add]]ed. Keys not currently in the set are ignored. The exact
+    * tombstone set is committed as a snapshot; its cuckoo sidecar serves the
+    * fast probe in [[liveKeys]]. Returns the tombstone snapshot id. */
+  def retract(urlHashes: DataFrame, lineage: Map[String, String] = Map.empty): Long = {
+    require(table.exists, "cannot retract from an empty seen set")
+    val toRetract = urlHashes.select(col("url_hash")).distinct()
+      .join(keys(), Seq("url_hash"), "left_semi")
+    val combined =
+      if (tombTable.exists) tombTable.read().unionByName(toRetract).distinct()
+      else toRetract
+    val tid = tombTable.commit(combined, lineage)
+    writeCuckoo(tid, collectTombstones(tid))
+    tid
+  }
+
+  private def collectTombstones(tid: Long): Array[Long] = {
+    import spark.implicits._
+    tombTable.readAt(tid).select(col("url_hash")).as[Long].collect()
+  }
+
+  private def writeCuckoo(tid: Long, hashes: Array[Long]): Unit = {
+    var cf = CuckooFilter.forCapacity(math.max(64L, hashes.length.toLong))
+    var i = 0
+    while (i < hashes.length) {
+      if (!cf.insert(hashes(i))) { // saturated (dup-heavy fingerprints): grow and restart
+        cf = new CuckooFilter(cf.nBuckets * 2); i = -1
+      }
+      i += 1
+    }
+    writeFilter(tid, cf)
+  }
+
+  private def writeFilter(tid: Long, cf: CuckooFilter): Unit = {
+    val tmp = Paths.get(root, "tombstones", "snapshots", s"cuckoo-v$tid.bin.tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, cf.serialize())
+    Files.move(tmp, cuckooPath(tid), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Re-adding a retracted key clears its tombstone: the exact set shrinks
+    * by an anti-join and the cuckoo sidecar DELETES the fingerprints in
+    * place — the capability a Bloom filter lacks and the reason the
+    * tombstone probe is a cuckoo filter, not a 17th Bloom shard. */
+  private def clearTombstones(newKeys: DataFrame): Unit = {
+    val tid = tombTable.currentSnapshotId
+    if (tombstoneCount == 0L || tid.isEmpty) return
+    import spark.implicits._
+    val reAdded = tombTable.read().join(newKeys, Seq("url_hash"), "left_semi")
+      .select(col("url_hash")).as[Long].collect()
+    if (reAdded.isEmpty) return
+    val remaining = tombTable.read().join(newKeys, Seq("url_hash"), "left_anti")
+    val newTid = tombTable.commit(remaining,
+      Map("cleared" -> reAdded.length.toString))
+    if (Files.exists(cuckooPath(tid.get))) {
+      val cf = CuckooFilter.deserialize(Files.readAllBytes(cuckooPath(tid.get)))
+      reAdded.foreach(cf.delete)
+      writeFilter(newTid, cf)
+    } else writeCuckoo(newTid, collectTombstones(newTid))
+  }
 
   /** Per-shard Bloom capacity, fixed at first build (merge compatibility). */
   private def shardCapacity: Option[Long] =
@@ -121,6 +232,10 @@ final class SeenSet(root: String, spark: SparkSession,
       writeShards(id, buildShards(table.readAt(id), perShard))
       id
     } else {
+      // a re-added retracted key just loses its tombstone (it is already in
+      // the key table); afterwards filterUnseen sees it as seen again, so the
+      // delta below holds only genuinely-new keys
+      clearTombstones(newKeys)
       val delta = filterUnseen(newKeys)
       val id = table.commitDelta(delta, lineage)
       val m = table.manifest(id).get
@@ -189,12 +304,12 @@ final class SeenSet(root: String, spark: SparkSession,
         val probe = call_function("bloom_might_contain",
           col("url_hash"), lit(root), lit(id))
         frontier.withColumn("__maybe_seen", probe)
-          .join(keys().withColumnRenamed("url_hash", "__seen_hash"),
+          .join(liveKeys().withColumnRenamed("url_hash", "__seen_hash"),
             col("url_hash") === col("__seen_hash") && col("__maybe_seen"),
             "left_anti")
           .drop("__maybe_seen")
       case _ =>
-        frontier.join(keys(), Seq("url_hash"), "left_anti")
+        frontier.join(liveKeys(), Seq("url_hash"), "left_anti")
     }
   }
 }

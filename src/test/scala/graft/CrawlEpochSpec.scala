@@ -203,6 +203,38 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(seenA === seenB)
   }
 
+  test("requeueFailures: failed fetches are retracted from the seen set and rescheduled") {
+    val (pages, images, _, robots) = corpus()
+    // seeds aimed past the 400-page corpus: targets 400..599 fetch as 404
+    val seeds = SyntheticCorpus.seedUrls(spark, 300, pageCount = 600)
+    val root = Files.createTempDirectory("crawlRetry").toString
+    CrawlEpoch.seed(root, spark, seeds)
+    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 1000, epoch = 1)
+    val outT = new SnapshotTable(s"$root/out", spark)
+    val failedHashes = outT.readAt(outT.snapshotForLineage("epoch", "1").get)
+      .filter(col("fetch_status") === 404)
+      .select("url_hash").collect().map(_.getLong(0)).toSet
+    assert(failedHashes.nonEmpty, "corpus must produce some 404s (seeds 2x pages)")
+    val n = CrawlEpoch.requeueFailures(root, spark, epoch = 1)
+    assert(n === failedHashes.size.toLong)
+    // the retry epoch schedules exactly the requeued URLs again (ample budget)
+    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 1000, epoch = 2)
+    val schedT = new SnapshotTable(s"$root/scheduled", spark)
+    val sch1 = schedT.readAt(schedT.snapshotForLineage("epoch", "1").get)
+      .select("url_hash").collect().map(_.getLong(0)).toSet
+    val sch2 = schedT.readAt(schedT.snapshotForLineage("epoch", "2").get)
+      .select("url_hash").collect().map(_.getLong(0)).toSet
+    assert(failedHashes.subsetOf(sch2), "every requeued URL must be rescheduled")
+    assert(sch1.intersect(sch2) === failedHashes,
+      "ONLY the requeued URLs may be scheduled twice")
+    // after the retry epoch re-adds them, the tombstones are cleared: nothing
+    // from epoch 2's schedule is unseen anymore
+    val seen = new graft.frontier.SeenSet(s"$root/seen", spark)
+    import spark.implicits._
+    assert(seen.filterUnseen(sch2.toSeq.toDF("url_hash")).count() === 0)
+    assert(seen.keys().count() === seen.liveKeys().count(), "no tombstones left")
+  }
+
   test("snapshot pointer never regresses to an older epoch; rollback never clobbers snapshots") {
     import spark.implicits._
     // out-of-order pipelined commits: epoch 3's out lands before epoch 2's

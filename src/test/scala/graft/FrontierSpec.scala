@@ -183,6 +183,35 @@ class FrontierSpec extends SparkSpecBase {
     assert(unseen === (100L until 200L).toSeq)
   }
 
+  test("seen set: retract tombstones keys until re-added (cuckoo deletion path)") {
+    import spark.implicits._
+    val root = tmpDir("seenretract")
+    val seen = new SeenSet(root, spark)
+    seen.add((0L until 5000L).toDF("url_hash"))
+    // retract a failed-fetch batch + a never-seen key (ignored as a no-op)
+    seen.retract(Seq(10L, 20L, 30L, 999999L).toDF("url_hash"))
+    val afterRetract = seen.filterUnseen((0L until 5100L).toDF("url_hash"))
+      .as[Long].collect().sorted.toSeq
+    assert(afterRetract === (Seq(10L, 20L, 30L) ++ (5000L until 5100L)).sorted,
+      "retracted keys must be unseen again; nothing else may leak")
+    // second retract accumulates
+    seen.retract(Seq(40L).toDF("url_hash"))
+    assert(seen.filterUnseen(Seq(40L).toDF("url_hash")).count() === 1)
+    // re-add clears tombstones IN PLACE (cuckoo delete, no rebuild) and the
+    // delta holds only genuinely-new keys — re-added ones are already in the
+    // key table
+    seen.add(Seq(10L, 20L, 5500L).toDF("url_hash"))
+    assert(seen.table.manifest(seen.table.currentSnapshotId.get)
+      .get.get("delta_rows").asLong === 1L, "re-added keys must not re-commit")
+    val afterReAdd = seen.filterUnseen((0L until 5100L).toDF("url_hash"))
+      .as[Long].collect().sorted.toSeq
+    assert(afterReAdd === (Seq(30L, 40L) ++ (5000L until 5100L)).sorted,
+      "re-added keys are seen again; still-retracted keys stay unseen")
+    // raw key table is append-only; effective membership excludes tombstones
+    assert(seen.keys().count() === 5001L)
+    assert(seen.liveKeys().count() === 4999L)
+  }
+
   // --- scheduler determinism + politeness -------------------------------------
 
   test("scheduler: identical schedule at different parallelism and partitioning") {
