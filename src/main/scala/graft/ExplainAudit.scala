@@ -47,6 +47,15 @@ object ExplainAudit {
       pages.join(broadcast(sched),
         col("url_hash") === col("page_hash") && col("canon_url") === col("page_url"),
         "inner").explain("formatted")
+
+      // with tombstones: the keys side of the exact anti-join must show the
+      // cuckoo probe gating a BROADCAST anti-join against the (small)
+      // tombstone table — no extra scan or shuffle of the frontier
+      seen.retract((0L until 100L).toDF("url_hash"))
+      println("\n================ crawl: filterUnseen (tombstones active) ================")
+      seen.filterUnseen(frontier
+        .withColumn("url_hash", graft.functions.GraftFunctions.urlHash64(col("url"))))
+        .explain("formatted")
     }
     spark.stop()
   }

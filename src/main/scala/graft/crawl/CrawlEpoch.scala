@@ -289,6 +289,26 @@ object CrawlEpoch {
       outTable = outTable)
   }
 
+  /** Expire old crawl-STATE snapshots (storage maintenance between epochs):
+    * frontier, schedule, seen set (+ tombstones) and robots cache keep only
+    * the newest `keepLast` generations — without this, per-epoch full
+    * commits (the frontier rewrites itself every epoch by design: shedding
+    * IS the feature) accumulate O(epochs × table size) on disk forever at a
+    * 10^10-URL frontier. The OUT table is never expired: its snapshots are
+    * the crawl's output, one per epoch. Keep `keepLast >= 2` if you want
+    * one epoch of rollback headroom. Safe under pipelining as long as it
+    * runs between [[finish]] and the next [[start]] (expiry and commits
+    * serialize on the same per-root locks, but expiring a schedule the
+    * in-flight out stage still reads would race the data files). */
+  def expireState(stateRoot: String, spark: SparkSession, keepLast: Int): Int = {
+    val seen = new SeenSet(s"$stateRoot/seen", spark)
+    val robots = new SnapshotTable(s"$stateRoot/robots", spark)
+    frontierTable(stateRoot, spark).expireSnapshots(keepLast) +
+      new SnapshotTable(s"$stateRoot/scheduled", spark).expireSnapshots(keepLast) +
+      seen.expire(keepLast) +
+      (if (robots.exists) robots.expireSnapshots(keepLast) else 0)
+  }
+
   /** Re-queue an epoch's FAILED fetches for retry (the reference retries
     * transient HTTP failures up to 100 times, `retry_warc.py:54-57`; at
     * 10^10-URL scale transient failures are the norm, and without this a

@@ -273,6 +273,15 @@ final class SeenSet(root: String, spark: SparkSession,
     }
   }
 
+  /** Expire old key-table and tombstone snapshots (storage maintenance; see
+    * [[SnapshotTable.expireSnapshots]]). Safe for incremental adds with any
+    * `keepLast >= 1`: [[add]] merges into the CURRENT generation's Bloom
+    * sidecars, which expiry always retains. Rollback below the horizon is
+    * gone by design. */
+  def expire(keepLast: Int): Int =
+    table.expireSnapshots(keepLast) +
+      (if (tombTable.exists) tombTable.expireSnapshots(keepLast) else 0)
+
   /** Roll the seen set back to an earlier snapshot (epoch rollback). The
     * Bloom sidecars are per-snapshot, so the pointer flip restores the exact
     * earlier filters too — deletion without tombstones. */

@@ -198,6 +198,46 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     id
   }
 
+  /** Expire all but the newest `keepLast` snapshots (Iceberg
+    * `expire_snapshots` maintenance): deletes their manifests, their
+    * per-snapshot sidecar files (`bloom-v<id>-*`, `cuckoo-v<id>.bin`), and
+    * any data directory no RETAINED snapshot references — delta chains list
+    * ancestor dirs in their own manifest (`data_dirs`), so a retained delta
+    * snapshot keeps its whole chain readable. Without expiry a per-epoch
+    * full-commit table (the frontier) grows O(epochs × table size) on disk
+    * forever. The `current` snapshot is always retained. Returns the number
+    * of snapshots expired. Time-travel below the horizon is gone by design;
+    * callers choose per-table policy (output tables are never expired —
+    * their snapshots ARE the data). */
+  def expireSnapshots(keepLast: Int): Int =
+    SnapshotTable.rootLock(root).synchronized {
+      require(keepLast >= 1, "must retain at least the current snapshot")
+      val cur = currentSnapshotId.getOrElse(return 0)
+      val maxId = math.max(cur, maxManifestId.getOrElse(0L))
+      val all = (1L to maxId).filter(id => manifest(id).isDefined)
+      val cutoff = maxId - keepLast
+      val retained = all.filter(id => id > cutoff || id == cur)
+      val referencedDirs = retained.flatMap(dataDirs).toSet
+      val expired = all.filterNot(retained.contains)
+      val snapFiles = {
+        val s = Files.list(snapDir)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+      expired.foreach { id =>
+        val dir = dataDir(id)
+        if (!referencedDirs.contains(dir.toString) && Files.exists(dir)) {
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        snapFiles.filter { p =>
+          val n = p.getFileName.toString
+          n == s"v$id.json" || n == s"cuckoo-v$id.bin" ||
+            n.startsWith(s"bloom-v$id-")
+        }.foreach(Files.deleteIfExists)
+      }
+      expired.size
+    }
+
   private def footerRowCount(path: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile

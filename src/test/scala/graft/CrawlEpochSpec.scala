@@ -235,6 +235,29 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(seen.keys().count() === seen.liveKeys().count(), "no tombstones left")
   }
 
+  test("expireState between epochs: byte-identical crawl, old state generations gone") {
+    val (pages, images, seeds, robots) = corpus()
+    val rootA = Files.createTempDirectory("crawlNoExp").toString
+    val rootB = Files.createTempDirectory("crawlExp").toString
+    Seq(rootA, rootB).foreach(r => CrawlEpoch.seed(r, spark, seeds))
+    (1 to 3).foreach { e =>
+      CrawlEpoch.run(rootA, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = e)
+      CrawlEpoch.run(rootB, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = e)
+      val n = CrawlEpoch.expireState(rootB, spark, keepLast = 1)
+      if (e > 1) assert(n > 0, s"epoch $e should have expired some state snapshots")
+    }
+    assert(outSorted(rootA) === outSorted(rootB), "expiry changed crawl output")
+    val seenA = new graft.frontier.SeenSet(s"$rootA/seen", spark).keys()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val seenB = new graft.frontier.SeenSet(s"$rootB/seen", spark).keys()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seenA === seenB, "expiry changed the seen set")
+    // the expired root keeps only the newest frontier generation's manifest
+    val fB = CrawlEpoch.frontierTable(rootB, spark)
+    val cur = fB.currentSnapshotId.get
+    assert(fB.manifest(cur - 1).isEmpty, "old frontier manifest should be expired")
+  }
+
   test("snapshot pointer never regresses to an older epoch; rollback never clobbers snapshots") {
     import spark.implicits._
     // out-of-order pipelined commits: epoch 3's out lands before epoch 2's

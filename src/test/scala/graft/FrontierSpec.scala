@@ -183,6 +183,38 @@ class FrontierSpec extends SparkSpecBase {
     assert(unseen === (100L until 200L).toSeq)
   }
 
+  test("expireSnapshots: old generations deleted, retained delta chains stay readable") {
+    import spark.implicits._
+    val root = tmpDir("expire")
+    val seen = new SeenSet(root, spark, expectedKeys = 100000) // roomy: no compaction
+    seen.add((0L until 1000L).toDF("url_hash"))    // v1 full
+    seen.add((1000L until 2000L).toDF("url_hash")) // v2 delta (chain s1,s2)
+    seen.add((2000L until 3000L).toDF("url_hash")) // v3 delta (chain s1,s2,s3)
+    assert(seen.expire(keepLast = 1) === 2)
+    // the retained delta snapshot still reads its FULL chain (s1 referenced)
+    assert(seen.keys().count() === 3000L)
+    assert(seen.table.manifest(1L).isEmpty && seen.table.manifest(2L).isEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(root, "data", "s1")))
+    // expired sidecars deleted; current generation's retained
+    assert(!Files.exists(java.nio.file.Paths.get(root, "snapshots", "bloom-v1-s0.bin")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "snapshots", "bloom-v3-s0.bin")))
+    // adds stay INCREMENTAL after expiry (current sidecars present → delta path)
+    seen.add((3000L until 4000L).toDF("url_hash"))
+    val m = seen.table.manifest(seen.table.currentSnapshotId.get).get
+    assert(m.has("data_dirs"), "post-expiry add must still be a delta commit")
+    assert(m.get("delta_rows").asLong === 1000L)
+    val unseen = seen.filterUnseen((3500L until 4500L).toDF("url_hash"))
+      .as[Long].collect().sorted.toSeq
+    assert(unseen === (4000L until 4500L).toSeq)
+    // full-commit table: unreferenced expired data dirs are deleted
+    val t2 = new SnapshotTable(s"$root/full", spark)
+    t2.commit(Seq(1L).toDF("x")); t2.commit(Seq(2L).toDF("x")); t2.commit(Seq(3L).toDF("x"))
+    assert(t2.expireSnapshots(2) === 1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/full", "data", "s1")))
+    assert(t2.readAt(2).as[Long].collect().toSeq === Seq(2L))
+    assert(t2.read().as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("seen set: retract tombstones keys until re-added (cuckoo deletion path)") {
     import spark.implicits._
     val root = tmpDir("seenretract")
