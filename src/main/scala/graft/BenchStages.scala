@@ -61,12 +61,17 @@ object BenchStages {
       fetched.withColumn("__lic", GraftFunctions.extractCcLicenses(col("html")))
         .select(col("__lic").getField("parse_error").as("pe")).filter(col("pe") === false).count()
     }
-    time("image join+check (count)") {
-      fetched.join(images, Seq("image_id"), "left")
+    time("image check+join (count)") {
+      // CrawlEpoch shape: decode on the images SIDE (one decode per image,
+      // blobs never cross the exchange), then join narrow check results
+      val checked = images
         .withColumn("__chk", when(col("bytes").isNotNull,
           GraftFunctions.imageCheck(col("bytes"),
             substring(col("image_id"), 5, 8).cast("long"), col("w"), col("h"))))
-        .filter(col("__chk").getField("psnr") >= 40.0).count()
+        .select(col("image_id"), (col("__chk").getField("psnr") >= 40.0).as("pixels_ok"))
+      fetched.select(col("image_id"))
+        .join(checked, Seq("image_id"), "left")
+        .filter(col("pixels_ok")).count()
     }
     time("seen add (bloom+commit)") {
       seen.add(sched.select(col("url_hash")))

@@ -189,32 +189,38 @@ object CrawlEpoch {
             scheduled("canon_url") === col("page_url"), "left")
           .drop("page_hash")
       }
-      val withImage = fetched.join(
-        images.select(col("image_id"), col("bytes"), col("w"), col("h"),
-          col("fmt"), col("caption"), col("phash")),
-        Seq("image_id"), "left")
-      val imgSeed = substring(col("image_id"), 5, 8).cast("long")
-      // one decode per blob: fused check kernel (dims + phash + psnr)
-      val chk = GraftFunctions.imageCheck(col("bytes"), imgSeed, col("w"), col("h"))
-      val annotated = withImage
+      // Heavy payloads never cross an exchange: license extraction runs on
+      // the fetched rows BEFORE the image join (html stays inside its scan
+      // stage's codegen span and is projected away), and the fused decode+
+      // phash+PSNR kernel runs on the IMAGES side before the join — one
+      // decode per image, not per referencing page (at 10 pages/image that
+      // is 10× less decode work), and the blobs are projected away before
+      // the exchange. The epoch's widest shuffle then moves only narrow
+      // metadata columns instead of ~KB html strings and image bytes.
+      val licensed = fetched
         .withColumn("fetch_status", when(col("html").isNotNull, 200).otherwise(404))
-        .withColumn("__chk", when(col("bytes").isNotNull, chk))
-        .withColumn("decoded_w", col("__chk").getField("decoded_w"))
-        .withColumn("decoded_h", col("__chk").getField("decoded_h"))
-        .withColumn("phash_ok",
-          when(col("bytes").isNotNull, col("__chk").getField("phash") === col("phash")))
-        .withColumn("pixels_ok",
-          when(col("bytes").isNotNull, col("__chk").getField("psnr") >= 40.0))
         .withColumn("__lic", when(col("html").isNotNull,
-          graft.functions.GraftFunctions.extractCcLicenses(col("html"))))
-      val out = annotated.select(
-        Seq(col("url"), col("canon_url"), col("host"), col("url_hash"),
-          col("priority"), col("host_rank"), lit(epoch).as("epoch"),
-          col("fetch_status"), col("image_id"), col("caption"),
-          col("w"), col("h"), col("fmt"), col("decoded_w"), col("decoded_h"),
-          col("phash_ok"), col("pixels_ok"), col("html")) ++
+          GraftFunctions.extractCcLicenses(col("html"))))
+        .select(Seq(col("url"), col("canon_url"), col("host"), col("url_hash"),
+          col("priority"), col("host_rank"), col("fetch_status"),
+          col("image_id")) ++
           GraftFunctions.licenseMetadataColumns(col("__lic")): _*)
-      outTable.commit(out.drop("html"),
+      val imgSeed = substring(col("image_id"), 5, 8).cast("long")
+      val chk = GraftFunctions.imageCheck(col("bytes"), imgSeed, col("w"), col("h"))
+      val checkedImages = images
+        .select(col("image_id"), col("caption"), col("w"), col("h"),
+          col("fmt"), col("phash"), col("bytes"))
+        .withColumn("__chk", when(col("bytes").isNotNull, chk))
+        .select(col("image_id"), col("caption"), col("w"), col("h"), col("fmt"),
+          col("__chk").getField("decoded_w").as("decoded_w"),
+          col("__chk").getField("decoded_h").as("decoded_h"),
+          when(col("bytes").isNotNull,
+            col("__chk").getField("phash") === col("phash")).as("phash_ok"),
+          when(col("bytes").isNotNull,
+            col("__chk").getField("psnr") >= 40.0).as("pixels_ok"))
+      val out = licensed.join(checkedImages, Seq("image_id"), "left")
+        .withColumn("epoch", lit(epoch))
+      outTable.commit(out,
         Map("epoch" -> epoch.toString, "stage" -> "out"),
         partitionBy = Seq("fetch_status"))
       outTable.markStage(epoch, "out")
