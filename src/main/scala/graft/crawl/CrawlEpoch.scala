@@ -160,51 +160,67 @@ object CrawlEpoch {
 
     // --- stage 2: fetch + decode + annotate → out ---------------------------
     def runOutStage(): Unit = if (!outTable.stageDone(epoch, "out")) {
-      // Fetch join, 100 TB shape: the page corpus NEVER shuffles when the
-      // politeness-bounded schedule fits a broadcast — hits stream straight
-      // out of the corpus scan (no exchange of html bytes) and misses (404s)
-      // are recovered by anti-joining scheduled against the corpus KEY
-      // columns only (column pruning keeps that scan narrow). A schedule too
-      // large to broadcast (manifest row count is free — no job) falls back
-      // to the hash-keyed shuffle join: correct at any size, just pays the
-      // corpus exchange. Round 1 always shuffled.
-      val schedRows = schedTable.snapshotForLineage("epoch", epoch.toString)
-        .flatMap(schedTable.manifest)
+      // Fetch join, 100 TB shape: html NEVER crosses an exchange on either
+      // path. Broadcast path (schedule fits a broadcast): hits stream
+      // straight out of the corpus scan; license extraction runs inside
+      // that scan stage and html is projected away before the union; misses
+      // (404s) are recovered by anti-joining scheduled against the corpus
+      // KEY columns only (column pruning keeps that scan narrow). Fallback
+      // path (schedule too large — the NORMAL case at a 10^10-URL
+      // frontier): a schedule-keyed Bloom sidecar, written next to the
+      // schedule snapshot (probed through the executor-cached
+      // bloom_might_contain, GC'd by expireSnapshots), prefilters the
+      // corpus scan to ~schedule-sized candidates; license extraction runs
+      // on the candidates pre-exchange, so only narrow metadata shuffles
+      // into the hash join. Bloom false positives are dropped by the exact
+      // join; false negatives do not exist, so no hit is lost. Round 1
+      // shuffled the full corpus, html included.
+      val schedSnap = schedTable.snapshotForLineage("epoch", epoch.toString)
+      val schedRows = schedSnap.flatMap(schedTable.manifest)
         .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
-      val broadcastMax = sys.env.getOrElse("SPARK_GRAFT_BCAST_SCHED_MAX", "4000000").toLong
+      val broadcastMax = spark.conf.getOption("graft.bcastSchedMax")
+        .orElse(sys.env.get("SPARK_GRAFT_BCAST_SCHED_MAX"))
+        .map(_.toLong).getOrElse(4000000L)
+      // License columns computed WHERE THE HTML LIVES (pre-exchange, before
+      // the image join): html stays inside its stage's codegen span and is
+      // projected away; everything else passes through.
+      def annotateLicenses(df: DataFrame): DataFrame = {
+        val keep = df.columns.filterNot(_ == "html").map(col).toSeq
+        df.withColumn("__lic", when(col("html").isNotNull,
+            GraftFunctions.extractCcLicenses(col("html"))))
+          .select(keep ++ GraftFunctions.licenseMetadataColumns(col("__lic")): _*)
+      }
       val fetched = if (schedRows <= broadcastMax) {
-        val hit = pagesHashed.join(
+        val hit = annotateLicenses(pagesHashed.join(
           broadcast(scheduled),
           col("url_hash") === col("page_hash") &&
-            col("canon_url") === col("page_url"), "inner")
-          .drop("page_hash")
+            col("canon_url") === col("page_url"), "inner"))
+          .withColumn("fetch_status", lit(200))
         val miss = scheduled.join(
           pagesHashed.select(col("page_hash"), col("page_url")),
           col("url_hash") === col("page_hash") &&
             col("canon_url") === col("page_url"), "left_anti")
+          .withColumn("fetch_status", lit(404))
         hit.unionByName(miss, allowMissingColumns = true)
       } else {
-        scheduled.join(pagesHashed,
+        val candidates = schedSnap match {
+          case Some(sid) =>
+            val schedRoot = s"$stateRoot/scheduled"
+            if (!SeenSet.shardFilesPresent(schedRoot, sid))
+              SeenSet.writeShardFiles(schedRoot, sid,
+                SeenSet.buildShards(scheduled.select(col("url_hash")),
+                  math.max(1000L, schedRows / SeenSet.ShardCount)))
+            pagesHashed.where(call_function("bloom_might_contain",
+              col("page_hash"), lit(schedRoot), lit(sid)))
+          case None => pagesHashed // no manifest (shouldn't happen): exact-only
+        }
+        scheduled.join(annotateLicenses(candidates),
           scheduled("url_hash") === col("page_hash") &&
             scheduled("canon_url") === col("page_url"), "left")
-          .drop("page_hash")
+          .withColumn("fetch_status",
+            when(col("page_url").isNotNull, 200).otherwise(404))
       }
-      // Heavy payloads never cross an exchange: license extraction runs on
-      // the fetched rows BEFORE the image join (html stays inside its scan
-      // stage's codegen span and is projected away), and the fused decode+
-      // phash+PSNR kernel runs on the IMAGES side before the join — one
-      // decode per image, not per referencing page (at 10 pages/image that
-      // is 10× less decode work), and the blobs are projected away before
-      // the exchange. The epoch's widest shuffle then moves only narrow
-      // metadata columns instead of ~KB html strings and image bytes.
-      val licensed = fetched
-        .withColumn("fetch_status", when(col("html").isNotNull, 200).otherwise(404))
-        .withColumn("__lic", when(col("html").isNotNull,
-          GraftFunctions.extractCcLicenses(col("html"))))
-        .select(Seq(col("url"), col("canon_url"), col("host"), col("url_hash"),
-          col("priority"), col("host_rank"), col("fetch_status"),
-          col("image_id")) ++
-          GraftFunctions.licenseMetadataColumns(col("__lic")): _*)
+      val licensed = fetched.drop("page_url", "page_hash")
       val imgSeed = substring(col("image_id"), 5, 8).cast("long")
       val chk = GraftFunctions.imageCheck(col("bytes"), imgSeed, col("w"), col("h"))
       val checkedImages = images

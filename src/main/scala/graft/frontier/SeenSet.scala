@@ -186,35 +186,11 @@ final class SeenSet(root: String, spark: SparkSession,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Build all `ShardCount` shards over `keys` in ONE aggregation job
-    * (per-partition build → treeReduce bitwise merge). */
-  private def buildShards(keysDf: DataFrame, perShard: Long): Array[BloomFilter] = {
-    import spark.implicits._
-    val rdd = keysDf.select(col("url_hash")).as[Long].rdd
-    val zero = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
-    if (rdd.isEmpty()) zero
-    else rdd
-      .mapPartitions { it =>
-        val arr = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
-        it.foreach(h => arr(SeenSet.shardOf(h)).putLong(h))
-        Iterator(arr)
-      }
-      .treeReduce { (a, b) =>
-        var i = 0
-        while (i < ShardCount) { a(i).mergeInPlace(b(i)); i += 1 }
-        a
-      }
-  }
+  private def buildShards(keysDf: DataFrame, perShard: Long): Array[BloomFilter] =
+    SeenSet.buildShards(keysDf, perShard)
 
   private def writeShards(id: Long, blooms: Array[BloomFilter]): Unit =
-    blooms.zipWithIndex.foreach { case (bf, shard) =>
-      val out = new java.io.ByteArrayOutputStream()
-      bf.writeTo(out)
-      val tmp = Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin.tmp")
-      Files.write(tmp, out.toByteArray)
-      Files.move(tmp, bloomPath(id, shard), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    SeenSet.writeShardFiles(root, id, blooms)
 
   /** Add `urlHashes` (column `url_hash`) as a DELTA: keys already present are
     * filtered out (Bloom fast path + exact anti-join on the maybes), only new
@@ -338,4 +314,46 @@ object SeenSet {
   val DefaultExpectedKeys: Long = 4L * 1000 * 1000
 
   def shardOf(h: Long): Int = (((h % ShardCount) + ShardCount) % ShardCount).toInt
+
+  /** Build all [[ShardCount]] Bloom shards over `keys` (column `url_hash`)
+    * in ONE aggregation job (per-partition build → treeReduce bitwise
+    * merge). Shared by the seen set and by transient per-snapshot filters
+    * (e.g. the schedule Bloom that prefilters the fallback fetch join). */
+  private[graft] def buildShards(keysDf: DataFrame, perShard: Long): Array[BloomFilter] = {
+    import keysDf.sparkSession.implicits._
+    val rdd = keysDf.select(col("url_hash")).as[Long].rdd
+    val zero = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
+    if (rdd.isEmpty()) zero
+    else rdd
+      .mapPartitions { it =>
+        val arr = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
+        it.foreach(h => arr(shardOf(h)).putLong(h))
+        Iterator(arr)
+      }
+      .treeReduce { (a, b) =>
+        var i = 0
+        while (i < ShardCount) { a(i).mergeInPlace(b(i)); i += 1 }
+        a
+      }
+  }
+
+  /** Write Bloom shards as per-snapshot sidecars under `root/snapshots/`
+    * (the layout [[BloomProbe]] reads and [[SnapshotTable.expireSnapshots]]
+    * garbage-collects). */
+  private[graft] def writeShardFiles(root: String, id: Long,
+      blooms: Array[BloomFilter]): Unit =
+    blooms.zipWithIndex.foreach { case (bf, shard) =>
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      val dest = Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin")
+      val tmp = Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin.tmp")
+      Files.createDirectories(dest.getParent)
+      Files.write(tmp, out.toByteArray)
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private[graft] def shardFilesPresent(root: String, id: Long): Boolean =
+    (0 until ShardCount).forall(s =>
+      Files.exists(Paths.get(root, "snapshots", s"bloom-v$id-s$s.bin")))
 }

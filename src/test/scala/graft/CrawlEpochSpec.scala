@@ -235,6 +235,27 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(seen.keys().count() === seen.liveKeys().count(), "no tombstones left")
   }
 
+  test("large-schedule fallback fetch join: byte-identical to the broadcast path") {
+    val (pages, images, _, robots) = corpus()
+    // seeds past the corpus so the 404/miss recovery is exercised on both paths
+    val seeds = SyntheticCorpus.seedUrls(spark, 300, pageCount = 600)
+    val rootA = Files.createTempDirectory("crawlBcast").toString
+    val rootB = Files.createTempDirectory("crawlShuf").toString
+    CrawlEpoch.seed(rootA, spark, seeds)
+    CrawlEpoch.seed(rootB, spark, seeds)
+    val a = CrawlEpoch.run(rootA, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+    spark.conf.set("graft.bcastSchedMax", "1") // force the bloom-prefiltered shuffle join
+    val b = try CrawlEpoch.run(rootB, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+    finally spark.conf.unset("graft.bcastSchedMax")
+    assert(a === b, "metrics differ between fetch-join strategies")
+    assert(outSorted(rootA) === outSorted(rootB), "out rows differ between fetch-join strategies")
+    // the schedule Bloom sidecar was written next to the schedule snapshot
+    val schedT = new SnapshotTable(s"$rootB/scheduled", spark)
+    val sid = schedT.snapshotForLineage("epoch", "1").get
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$rootB/scheduled", "snapshots", s"bloom-v$sid-s0.bin")))
+  }
+
   test("expireState between epochs: byte-identical crawl, old state generations gone") {
     val (pages, images, seeds, robots) = corpus()
     val rootA = Files.createTempDirectory("crawlNoExp").toString
