@@ -158,6 +158,34 @@ object CrawlEpoch {
       .withColumnsRenamed(Map("url" -> "page_url"))
       .withColumn("page_hash", GraftFunctions.urlHash64(col("page_url")))
 
+    val schedSnap = schedTable.snapshotForLineage("epoch", epoch.toString)
+    val schedRows = schedSnap.flatMap(schedTable.manifest)
+      .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
+    val broadcastMax = spark.conf.getOption("graft.bcastSchedMax")
+      .orElse(sys.env.get("SPARK_GRAFT_BCAST_SCHED_MAX"))
+      .map(_.toLong).getOrElse(4000000L)
+    // Schedule-keyed Bloom sidecar for schedules too large to broadcast (the
+    // NORMAL case at a 10^10-URL frontier): written next to the schedule
+    // snapshot (GC'd by expireSnapshots), probed by the codegen'd
+    // bloom_might_contain inside the corpus scan so both corpus-joining
+    // stages (fetch, link re-derivation) see ~schedule-sized candidates and
+    // html never crosses their exchanges. Built at most once — `lazy val` is
+    // the thread-safety barrier, stages 2 and 4 run concurrently. Bloom
+    // false positives die in the exact joins; false negatives do not exist.
+    lazy val scheduleBloom: Option[(String, Long)] = schedSnap.map { sid =>
+      val schedRoot = s"$stateRoot/scheduled"
+      if (!SeenSet.shardFilesPresent(schedRoot, sid))
+        SeenSet.writeShardFiles(schedRoot, sid,
+          SeenSet.buildShards(scheduled.select(col("url_hash")),
+            math.max(1000L, schedRows / SeenSet.ShardCount)))
+      (schedRoot, sid)
+    }
+    def bloomPrefiltered(df: DataFrame): DataFrame = scheduleBloom match {
+      case Some((r, sid)) => df.where(call_function("bloom_might_contain",
+        col("page_hash"), lit(r), lit(sid)))
+      case None => df // no schedule manifest (shouldn't happen): exact-only
+    }
+
     // --- stage 2: fetch + decode + annotate → out ---------------------------
     def runOutStage(): Unit = if (!outTable.stageDone(epoch, "out")) {
       // Fetch join, 100 TB shape: html NEVER crosses an exchange on either
@@ -175,12 +203,6 @@ object CrawlEpoch {
       // into the hash join. Bloom false positives are dropped by the exact
       // join; false negatives do not exist, so no hit is lost. Round 1
       // shuffled the full corpus, html included.
-      val schedSnap = schedTable.snapshotForLineage("epoch", epoch.toString)
-      val schedRows = schedSnap.flatMap(schedTable.manifest)
-        .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
-      val broadcastMax = spark.conf.getOption("graft.bcastSchedMax")
-        .orElse(sys.env.get("SPARK_GRAFT_BCAST_SCHED_MAX"))
-        .map(_.toLong).getOrElse(4000000L)
       // License columns computed WHERE THE HTML LIVES (pre-exchange, before
       // the image join): html stays inside its stage's codegen span and is
       // projected away; everything else passes through.
@@ -203,18 +225,7 @@ object CrawlEpoch {
           .withColumn("fetch_status", lit(404))
         hit.unionByName(miss, allowMissingColumns = true)
       } else {
-        val candidates = schedSnap match {
-          case Some(sid) =>
-            val schedRoot = s"$stateRoot/scheduled"
-            if (!SeenSet.shardFilesPresent(schedRoot, sid))
-              SeenSet.writeShardFiles(schedRoot, sid,
-                SeenSet.buildShards(scheduled.select(col("url_hash")),
-                  math.max(1000L, schedRows / SeenSet.ShardCount)))
-            pagesHashed.where(call_function("bloom_might_contain",
-              col("page_hash"), lit(schedRoot), lit(sid)))
-          case None => pagesHashed // no manifest (shouldn't happen): exact-only
-        }
-        scheduled.join(annotateLicenses(candidates),
+        scheduled.join(annotateLicenses(bloomPrefiltered(pagesHashed)),
           scheduled("url_hash") === col("page_hash") &&
             scheduled("canon_url") === col("page_url"), "left")
           .withColumn("fetch_status",
@@ -253,15 +264,29 @@ object CrawlEpoch {
     // --- stage 4: next frontier (discovered links + unscheduled backlog) ----
     def runFrontierStage(): Unit = if (!frontier.stageDone(epoch, "frontier")) {
       // html is not persisted in the output snapshot; re-derive links from
-      // the fetch corpus via a semi join on the scheduled set (narrow scan,
-      // hash-keyed like the fetch join)
-      val fetchedPages = pagesHashed.join(
-        scheduled.select(col("url_hash"), col("canon_url")),
-        col("page_hash") === col("url_hash") && col("page_url") === col("canon_url"),
-        "left_semi")
-      val links = fetchedPages
-        .select(explode(GraftFunctions.extractLinks(col("html"))).as("url"))
-        .withColumn("priority", lit(linkPriorityDecay))
+      // the fetch corpus via a semi join on the scheduled set. Past the
+      // broadcast threshold the schedule-Bloom prefilter runs in the corpus
+      // scan and link extraction happens PRE-exchange, so the semi join
+      // moves narrow link arrays of ~schedule-sized candidates instead of
+      // every page's html. Below the threshold the plain hash-keyed semi
+      // join stands: an explicit broadcast hint was measured SLOWER here
+      // (multi-million-row broadcast hash relations cost more than the
+      // shuffle they avoid on matched pairs), and the Bloom path's extra
+      // jobs only pay for themselves once the corpus exchange is the wall.
+      val schedKeys = scheduled.select(col("url_hash"), col("canon_url"))
+      val semiCond = col("page_hash") === col("url_hash") &&
+        col("page_url") === col("canon_url")
+      val links0 =
+        if (schedRows <= broadcastMax)
+          pagesHashed.join(schedKeys, semiCond, "left_semi")
+            .select(explode(GraftFunctions.extractLinks(col("html"))).as("url"))
+        else
+          bloomPrefiltered(pagesHashed)
+            .select(col("page_hash"), col("page_url"),
+              GraftFunctions.extractLinks(col("html")).as("__links"))
+            .join(schedKeys, semiCond, "left_semi")
+            .select(explode(col("__links")).as("url"))
+      val links = links0.withColumn("priority", lit(linkPriorityDecay))
       val backlog = frontier.read() // URLs not scheduled this epoch stay queued
       // The frontier SHEDS: (a) everything scheduled this epoch, (b) links to
       // already-crawled pages — without this the table grows monotonically
