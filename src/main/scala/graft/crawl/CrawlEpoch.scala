@@ -7,6 +7,8 @@ import graft.table.SnapshotTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** One crawl epoch as a typed DataFrame job (north rule): frontier →
   * seen-set dedupe → politeness-budget scheduling → simulated fetch → image
   * decode + invariant checks → license annotation → snapshot-committed
@@ -94,7 +96,7 @@ object CrawlEpoch {
     val frontier = frontierTable(stateRoot, spark)
     val seen = new SeenSet(s"$stateRoot/seen", spark)
     val schedTable = new SnapshotTable(s"$stateRoot/scheduled", spark)
-    val outTable = new SnapshotTable(s"$stateRoot/out", spark)
+    val outTable = new SnapshotTable(s"$stateRoot/out", spark, epochOrdered = true)
 
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -231,26 +233,55 @@ object CrawlEpoch {
           .withColumn("fetch_status",
             when(col("page_url").isNotNull, 200).otherwise(404))
       }
+      // Persist the narrow fetched rows once: they feed both the fetched
+      // image-id set (which bounds the decode below) and the final join,
+      // without recomputing the license extraction.
       val licensed = fetched.drop("page_url", "page_hash")
-      val imgSeed = substring(col("image_id"), 5, 8).cast("long")
-      val chk = GraftFunctions.imageCheck(col("bytes"), imgSeed, col("w"), col("h"))
-      val checkedImages = images
-        .select(col("image_id"), col("caption"), col("w"), col("h"),
-          col("fmt"), col("phash"), col("bytes"))
-        .withColumn("__chk", when(col("bytes").isNotNull, chk))
-        .select(col("image_id"), col("caption"), col("w"), col("h"), col("fmt"),
-          col("__chk").getField("decoded_w").as("decoded_w"),
-          col("__chk").getField("decoded_h").as("decoded_h"),
-          when(col("bytes").isNotNull,
-            col("__chk").getField("phash") === col("phash")).as("phash_ok"),
-          when(col("bytes").isNotNull,
-            col("__chk").getField("psnr") >= 40.0).as("pixels_ok"))
-      val out = licensed.join(checkedImages, Seq("image_id"), "left")
-        .withColumn("epoch", lit(epoch))
-      outTable.commit(out,
-        Map("epoch" -> epoch.toString, "stage" -> "out"),
-        partitionBy = Seq("fetch_status"))
-      outTable.markStage(epoch, "out")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Decode ∝ FETCHED images, never ∝ the image corpus: an epoch whose
+        // schedule touches 0.1% of the store must not decode the other
+        // 99.9%. Small epochs broadcast the exact fetched-id set into the
+        // images scan (a semi join the corpus streams through); large
+        // epochs write an image-id Bloom sidecar (probed in-scan; false
+        // positives decode wastefully at ~1% and then vanish in the final
+        // left join — the exact check; false negatives do not exist). Blobs
+        // are projected away pre-exchange either way.
+        val fetchedIds = licensed.select(col("image_id"))
+          .where(col("image_id").isNotNull).distinct()
+        val wantedImages =
+          if (schedRows <= broadcastMax)
+            images.join(broadcast(fetchedIds), Seq("image_id"), "left_semi")
+          else {
+            val imgRoot = s"$stateRoot/imgbloom"
+            val sid = schedSnap.getOrElse(epoch)
+            if (!SeenSet.shardFilesPresent(imgRoot, sid))
+              SeenSet.writeShardFiles(imgRoot, sid, SeenSet.buildShards(
+                fetchedIds.select(xxhash64(col("image_id")).as("url_hash")),
+                math.max(1000L, schedRows / SeenSet.ShardCount)))
+            images.where(call_function("bloom_might_contain",
+              xxhash64(col("image_id")), lit(imgRoot), lit(sid)))
+          }
+        val imgSeed = substring(col("image_id"), 5, 8).cast("long")
+        val chk = GraftFunctions.imageCheck(col("bytes"), imgSeed, col("w"), col("h"))
+        val checkedImages = wantedImages
+          .select(col("image_id"), col("caption"), col("w"), col("h"),
+            col("fmt"), col("phash"), col("bytes"))
+          .withColumn("__chk", when(col("bytes").isNotNull, chk))
+          .select(col("image_id"), col("caption"), col("w"), col("h"), col("fmt"),
+            col("__chk").getField("decoded_w").as("decoded_w"),
+            col("__chk").getField("decoded_h").as("decoded_h"),
+            when(col("bytes").isNotNull,
+              col("__chk").getField("phash") === col("phash")).as("phash_ok"),
+            when(col("bytes").isNotNull,
+              col("__chk").getField("psnr") >= 40.0).as("pixels_ok"))
+        val out = licensed.join(checkedImages, Seq("image_id"), "left")
+          .withColumn("epoch", lit(epoch))
+        outTable.commit(out,
+          Map("epoch" -> epoch.toString, "stage" -> "out"),
+          partitionBy = Seq("fetch_status"))
+        outTable.markStage(epoch, "out")
+      } finally licensed.unpersist(blocking = false)
     }
 
     // --- stage 3: seen-set update (incremental: delta snapshot + merged
@@ -350,10 +381,24 @@ object CrawlEpoch {
   def expireState(stateRoot: String, spark: SparkSession, keepLast: Int): Int = {
     val seen = new SeenSet(s"$stateRoot/seen", spark)
     val robots = new SnapshotTable(s"$stateRoot/robots", spark)
-    frontierTable(stateRoot, spark).expireSnapshots(keepLast) +
-      new SnapshotTable(s"$stateRoot/scheduled", spark).expireSnapshots(keepLast) +
+    val schedT = new SnapshotTable(s"$stateRoot/scheduled", spark)
+    val n = frontierTable(stateRoot, spark).expireSnapshots(keepLast) +
+      schedT.expireSnapshots(keepLast) +
       seen.expire(keepLast) +
       (if (robots.exists) robots.expireSnapshots(keepLast) else 0)
+    // GC image-id Bloom sidecars (written by the out stage, keyed by the
+    // schedule snapshot id) whose schedule snapshot was just expired
+    val imgSnap = java.nio.file.Paths.get(s"$stateRoot/imgbloom", "snapshots")
+    if (java.nio.file.Files.exists(imgSnap)) {
+      val stream = java.nio.file.Files.list(imgSnap)
+      val stale =
+        try stream.iterator().asScala.toSeq finally stream.close()
+      stale.filter { p =>
+        "bloom-v([0-9]+)-".r.findFirstMatchIn(p.getFileName.toString)
+          .exists(m => schedT.manifest(m.group(1).toLong).isEmpty)
+      }.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    n
   }
 
   /** Re-queue an epoch's FAILED fetches for retry (the reference retries
@@ -363,7 +408,12 @@ object CrawlEpoch {
     * RETRACTED from the seen set ([[SeenSet.retract]] — exact tombstones +
     * cuckoo sidecar, cleared automatically when the retry epoch re-adds
     * them) and appended to the frontier as a delta, so the next epoch's
-    * schedule sees them again. Returns the number of URLs re-queued. */
+    * schedule sees them again. IDEMPOTENT per epoch (a stage marker makes a
+    * replay a 0-row no-op), which also bounds retries to at most one
+    * re-queue per (epoch, URL); a caller that re-queues every epoch's
+    * failures accepts unbounded retries of deterministic failures — cap by
+    * policy at the call site, as the reference does with its retry budget
+    * (`retry_warc.py:54-57`). Returns the number of URLs re-queued. */
   def requeueFailures(
       stateRoot: String,
       spark: SparkSession,
@@ -373,6 +423,7 @@ object CrawlEpoch {
     val outTable = new SnapshotTable(s"$stateRoot/out", spark)
     val frontier = frontierTable(stateRoot, spark)
     val seen = new SeenSet(s"$stateRoot/seen", spark)
+    if (frontier.stageDone(epoch, "requeue")) return 0L
     val snap = outTable.snapshotForLineage("epoch", epoch.toString)
       .getOrElse(sys.error(s"no out snapshot for epoch $epoch under $stateRoot"))
     val failed = outTable.readAt(snap)
@@ -383,6 +434,7 @@ object CrawlEpoch {
     val fid = frontier.commitDelta(
       failed.select(col("url"), lit(retryPriority).as("priority")),
       Map("epoch" -> epoch.toString, "stage" -> "requeue"))
+    frontier.markStage(epoch, "requeue")
     frontier.manifest(fid).map(_.get("delta_rows").asLong).getOrElse(0L)
   }
 

@@ -10,28 +10,37 @@ import org.apache.spark.util.sketch.BloomFilter
 
 /** Executor-side access to the [[SeenSet]] Bloom sidecars.
   *
-  * The cache holds AT MOST ONE filter per (root, shard): each epoch commits a
-  * new seen-set snapshot, so keying by snapshot id (as round 1 did) grew one
-  * full filter generation per epoch and would OOM an executor after a few
-  * epochs at the ~750 MB/shard target scale. A request for a different
-  * snapshot id (newer epoch, or older after a rollback) replaces the cached
-  * entry for that shard.
+  * The cache holds AT MOST TWO filter generations per (root, shard): keying
+  * by snapshot id alone (as round 1 did) grew one full generation per epoch
+  * and would OOM an executor after a few epochs at the ~750 MB/shard target
+  * scale, while a SINGLE resident generation thrashes under pipelining —
+  * epoch N's still-running out stage probes snapshot N of a schedule-Bloom
+  * root while epoch N+1's stages concurrently probe snapshot N+1 of the
+  * same root, and one-slot caching would re-read a shard file per probe.
+  * Two slots cover the at-most-two in-flight epochs; older generations are
+  * evicted.
   */
 object BloomProbe {
 
-  // (root#shard) -> (snapshotId, filter); one resident generation per shard
+  // (root#shard) -> up to two (snapshotId, filter) generations, newest first
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, BloomFilter)]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[(Long, BloomFilter)]]()
 
   private[graft] def filterFor(root: String, id: Long, shard: Int): BloomFilter = {
     val key = s"$root#$shard"
     val cur = cache.get(key)
-    if (cur != null && cur._1 == id) cur._2
-    else {
-      val bf = BloomFilter.readFrom(new ByteArrayInputStream(
-        Files.readAllBytes(Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin"))))
-      cache.put(key, (id, bf)) // requested generation wins; superseded one is dropped
-      bf
+    val hit = if (cur != null) cur.find(_._1 == id) else None
+    hit match {
+      case Some((_, bf)) => bf
+      case None =>
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(
+          Files.readAllBytes(Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin"))))
+        // benign race: concurrent loaders each publish a list containing
+        // their own entry; last write wins and the loser's filter is re-read
+        // at most once more
+        val prev = if (cur == null) Nil else cur.filterNot(_._1 == id)
+        cache.put(key, ((id, bf) :: prev).take(2))
+        bf
     }
   }
 
@@ -41,20 +50,24 @@ object BloomProbe {
     filterFor(root, id, SeenSet.shardOf(h)).mightContainLong(h)
 }
 
-/** `bloom_might_contain(url_hash, root, snapshot_id)` — codegen'd membership
-  * probe against the sharded seen-set Bloom sidecars. Replaces round 1's
-  * Scala `udf` probe (interpreted, boxed, CodegenFallback) so the probe runs
-  * inside the whole-stage-codegen span of the frontier scan. `root` and
-  * `snapshot_id` must be literals. */
-case class BloomMightContain(hash: Expression, rootExpr: Expression, idExpr: Expression)
-    extends TernaryExpression {
+/** Shared shape of the sidecar-probe expressions:
+  * `(hash: LONG, root: string literal, snapshot_id: long literal) → boolean`,
+  * evaluated through a static probe entry point that whole-stage codegen
+  * calls directly — no boxing, no UDF wrapper. */
+abstract class SidecarProbe extends TernaryExpression {
+  def hash: Expression
+  def rootExpr: Expression
+  def idExpr: Expression
+  /** Fully-qualified static method generated code calls. */
+  protected def probeMethod: String
+  /** The same probe for interpreted evaluation. */
+  protected def probe(root: String, id: Long, h: Long): Boolean
 
   override def first: Expression = hash
   override def second: Expression = rootExpr
   override def third: Expression = idExpr
 
   override def dataType: DataType = BooleanType
-  override def prettyName: String = "bloom_might_contain"
   override def nullable: Boolean = hash.nullable
 
   override def checkInputDataTypes()
@@ -68,18 +81,28 @@ case class BloomMightContain(hash: Expression, rootExpr: Expression, idExpr: Exp
     else TypeCheckSuccess
   }
 
-  @transient private lazy val root: String = rootExpr.eval().toString
-  @transient private lazy val snapId: Long = idExpr.eval().asInstanceOf[Long]
+  @transient protected lazy val root: String = rootExpr.eval().toString
+  @transient protected lazy val snapId: Long = idExpr.eval().asInstanceOf[Long]
 
   override protected def nullSafeEval(h: Any, r: Any, i: Any): Any =
-    java.lang.Boolean.valueOf(BloomProbe.probe(root, snapId, h.asInstanceOf[Long]))
+    java.lang.Boolean.valueOf(probe(root, snapId, h.asInstanceOf[Long]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val rootRef = ctx.addReferenceObj("bloomRoot", root)
-    defineCodeGen(ctx, ev, (h, _, _) =>
-      s"graft.frontier.BloomProbe.probe($rootRef, ${snapId}L, $h)")
+    val rootRef = ctx.addReferenceObj("probeRoot", root)
+    defineCodeGen(ctx, ev, (h, _, _) => s"$probeMethod($rootRef, ${snapId}L, $h)")
   }
+}
 
+/** `bloom_might_contain(url_hash, root, snapshot_id)` — codegen'd membership
+  * probe against the sharded seen-set Bloom sidecars. Replaces round 1's
+  * Scala `udf` probe (interpreted, boxed, CodegenFallback) so the probe runs
+  * inside the whole-stage-codegen span of the frontier scan. */
+case class BloomMightContain(hash: Expression, rootExpr: Expression, idExpr: Expression)
+    extends SidecarProbe {
+  override def prettyName: String = "bloom_might_contain"
+  override protected def probeMethod: String = "graft.frontier.BloomProbe.probe"
+  override protected def probe(root: String, id: Long, h: Long): Boolean =
+    BloomProbe.probe(root, id, h)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(hash = newFirst, rootExpr = newSecond, idExpr = newThird)
@@ -114,41 +137,13 @@ object CuckooProbe {
 /** `cuckoo_might_contain(url_hash, root, snapshot_id)` — codegen'd probe of
   * the tombstone cuckoo sidecar. Gates the exact tombstone anti-join in
   * [[SeenSet.liveKeys]]: keys the filter rejects are definitely not
-  * retracted and skip the join. `root` and `snapshot_id` must be literals. */
+  * retracted and skip the join. */
 case class CuckooMightContain(hash: Expression, rootExpr: Expression, idExpr: Expression)
-    extends TernaryExpression {
-
-  override def first: Expression = hash
-  override def second: Expression = rootExpr
-  override def third: Expression = idExpr
-
-  override def dataType: DataType = BooleanType
+    extends SidecarProbe {
   override def prettyName: String = "cuckoo_might_contain"
-  override def nullable: Boolean = hash.nullable
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (hash.dataType != LongType) TypeCheckFailure("hash must be LONG")
-    else if (rootExpr.dataType != StringType || !rootExpr.foldable)
-      TypeCheckFailure("root must be a string literal")
-    else if (idExpr.dataType != LongType || !idExpr.foldable)
-      TypeCheckFailure("snapshot id must be a long literal")
-    else TypeCheckSuccess
-  }
-
-  @transient private lazy val root: String = rootExpr.eval().toString
-  @transient private lazy val snapId: Long = idExpr.eval().asInstanceOf[Long]
-
-  override protected def nullSafeEval(h: Any, r: Any, i: Any): Any =
-    java.lang.Boolean.valueOf(CuckooProbe.probe(root, snapId, h.asInstanceOf[Long]))
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val rootRef = ctx.addReferenceObj("cuckooRoot", root)
-    defineCodeGen(ctx, ev, (h, _, _) =>
-      s"graft.frontier.CuckooProbe.probe($rootRef, ${snapId}L, $h)")
-  }
-
+  override protected def probeMethod: String = "graft.frontier.CuckooProbe.probe"
+  override protected def probe(root: String, id: Long, h: Long): Boolean =
+    CuckooProbe.probe(root, id, h)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(hash = newFirst, rootExpr = newSecond, idExpr = newThird)

@@ -29,7 +29,15 @@ import scala.jdk.CollectionConverters._
   * record-index (`retry_warc.py:80-101`) maps to idempotent re-runs of an
   * uncommitted snapshot — a crashed job leaves `current` untouched.
   */
-final class SnapshotTable(val root: String, spark: SparkSession) {
+/** @param epochOrdered when true, the `current` pointer never regresses to
+  *        a snapshot whose `epoch` lineage is OLDER than the current one's —
+  *        for sink tables written out-of-order by pipelined epochs (the out
+  *        table), where "current" must mean "newest epoch". State tables
+  *        (frontier, seen, scheduled) must NOT set this: their latest commit
+  *        is always the truth regardless of which epoch's maintenance wrote
+  *        it (e.g. a requeue delta for an old epoch). */
+final class SnapshotTable(val root: String, spark: SparkSession,
+    epochOrdered: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private def snapDir: Path = Paths.get(root, "snapshots")
@@ -54,13 +62,16 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
   private def maxManifestId: Option[Long] =
     if (!Files.exists(snapDir)) None
     else {
-      val ids = Files.list(snapDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json")
-        }
-        .flatMap(s => scala.util.Try(s.toLong).toOption)
-        .toSeq
+      val stream = Files.list(snapDir)
+      val ids =
+        try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+            s.stripPrefix("v").stripSuffix(".json")
+          }
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .toSeq
+        finally stream.close()
       if (ids.isEmpty) None else Some(ids.max)
     }
 
@@ -173,18 +184,19 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     Files.move(tmp, snapDir.resolve(s"v$id.json"), StandardCopyOption.ATOMIC_MOVE)
 
-    // `current` never regresses to an OLDER epoch: pipelined epochs commit
-    // out of completion order, and a reader of `current` must see the newest
-    // epoch's snapshot, not the last-landed one. A commit whose epoch lineage
-    // is older than the current snapshot's is fully recorded (manifest +
-    // data; readable via readAt/snapshotForLineage) but leaves the pointer.
+    // For epochOrdered (sink) tables only: `current` never regresses to an
+    // OLDER epoch — pipelined epochs commit out of completion order, and a
+    // reader of `current` must see the newest epoch's snapshot, not the
+    // last-landed one. A commit whose epoch lineage is older than the
+    // current snapshot's is fully recorded (manifest + data; readable via
+    // readAt/snapshotForLineage) but leaves the pointer.
     def epochOf(sid: Long): Option[Long] =
       manifest(sid).flatMap { mm =>
         if (mm.has("lineage") && mm.get("lineage").has("epoch"))
           scala.util.Try(mm.get("lineage").get("epoch").asText.toLong).toOption
         else None
       }
-    val regresses = (for {
+    val regresses = epochOrdered && (for {
       cur <- parent
       curEpoch <- epochOf(cur)
       newEpoch <- lineage.get("epoch").flatMap(s => scala.util.Try(s.toLong).toOption)
@@ -226,8 +238,9 @@ final class SnapshotTable(val root: String, spark: SparkSession) {
       expired.foreach { id =>
         val dir = dataDir(id)
         if (!referencedDirs.contains(dir.toString) && Files.exists(dir)) {
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
+          val w = Files.walk(dir)
+          val paths = try w.iterator().asScala.toSeq finally w.close()
+          paths.reverse.foreach(p => Files.deleteIfExists(p))
         }
         snapFiles.filter { p =>
           val n = p.getFileName.toString

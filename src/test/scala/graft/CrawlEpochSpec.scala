@@ -215,23 +215,34 @@ class CrawlEpochSpec extends SparkSpecBase {
       .filter(col("fetch_status") === 404)
       .select("url_hash").collect().map(_.getLong(0)).toSet
     assert(failedHashes.nonEmpty, "corpus must produce some 404s (seeds 2x pages)")
+    // a LATER epoch commits to the frontier before the requeue: the requeue
+    // delta (older epoch lineage) must still advance the frontier pointer —
+    // state tables always read latest-commit
+    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 1000, epoch = 2)
     val n = CrawlEpoch.requeueFailures(root, spark, epoch = 1)
     assert(n === failedHashes.size.toLong)
+    val frontierNow = CrawlEpoch.frontierTable(root, spark).read()
+      .select(graft.functions.GraftFunctions.urlHash64(col("url")).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(failedHashes.subsetOf(frontierNow),
+      "requeued URLs must be visible in the frontier even after a later epoch's commit")
+    // replay is a no-op (idempotence marker)
+    assert(CrawlEpoch.requeueFailures(root, spark, epoch = 1) === 0L)
     // the retry epoch schedules exactly the requeued URLs again (ample budget)
-    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 1000, epoch = 2)
+    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 1000, epoch = 3)
     val schedT = new SnapshotTable(s"$root/scheduled", spark)
     val sch1 = schedT.readAt(schedT.snapshotForLineage("epoch", "1").get)
       .select("url_hash").collect().map(_.getLong(0)).toSet
-    val sch2 = schedT.readAt(schedT.snapshotForLineage("epoch", "2").get)
+    val sch3 = schedT.readAt(schedT.snapshotForLineage("epoch", "3").get)
       .select("url_hash").collect().map(_.getLong(0)).toSet
-    assert(failedHashes.subsetOf(sch2), "every requeued URL must be rescheduled")
-    assert(sch1.intersect(sch2) === failedHashes,
+    assert(failedHashes.subsetOf(sch3), "every requeued URL must be rescheduled")
+    assert(sch1.intersect(sch3) === failedHashes,
       "ONLY the requeued URLs may be scheduled twice")
     // after the retry epoch re-adds them, the tombstones are cleared: nothing
-    // from epoch 2's schedule is unseen anymore
+    // from epoch 3's schedule is unseen anymore
     val seen = new graft.frontier.SeenSet(s"$root/seen", spark)
     import spark.implicits._
-    assert(seen.filterUnseen(sch2.toSeq.toDF("url_hash")).count() === 0)
+    assert(seen.filterUnseen(sch3.toSeq.toDF("url_hash")).count() === 0)
     assert(seen.keys().count() === seen.liveKeys().count(), "no tombstones left")
   }
 
@@ -283,7 +294,7 @@ class CrawlEpochSpec extends SparkSpecBase {
     import spark.implicits._
     // out-of-order pipelined commits: epoch 3's out lands before epoch 2's
     val root = Files.createTempDirectory("snapOrder").toString
-    val t = new SnapshotTable(s"$root/out", spark)
+    val t = new SnapshotTable(s"$root/out", spark, epochOrdered = true)
     t.commit(Seq((1L, "a")).toDF("epoch_row", "v"), Map("epoch" -> "1"))
     t.commit(Seq((3L, "c")).toDF("epoch_row", "v"), Map("epoch" -> "3"))
     val lateId = t.commit(Seq((2L, "b")).toDF("epoch_row", "v"), Map("epoch" -> "2"))
@@ -292,6 +303,13 @@ class CrawlEpochSpec extends SparkSpecBase {
     // the late commit is still fully recorded and locatable by lineage
     assert(t.snapshotForLineage("epoch", "2") === Some(lateId))
     assert(t.readAt(lateId).select("v").as[String].collect().toSeq === Seq("b"))
+    // a STATE table (not epochOrdered) must always advance: a maintenance
+    // commit for an old epoch (e.g. a requeue delta) is still the truth
+    val st = new SnapshotTable(s"$root/state", spark)
+    st.commit(Seq((3L, "c")).toDF("epoch_row", "v"), Map("epoch" -> "3"))
+    st.commit(Seq((1L, "r")).toDF("epoch_row", "v"), Map("epoch" -> "1"))
+    assert(st.read().select("v").as[String].collect().toSeq === Seq("r"),
+      "state-table pointer must follow the latest commit regardless of epoch lineage")
 
     // rollback then re-add: new ids allocate past the max manifest, the
     // rolled-back-over snapshot stays intact

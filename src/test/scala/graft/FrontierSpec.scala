@@ -126,7 +126,7 @@ class FrontierSpec extends SparkSpecBase {
     assert(unseen === (40000L until 41000L).toSeq)
   }
 
-  test("bloom probe: executor cache keeps one generation per shard") {
+  test("bloom probe: executor cache keeps at most two generations per shard") {
     import spark.implicits._
     val root = tmpDir("seencache")
     val seen = new SeenSet(root, spark)
@@ -134,13 +134,20 @@ class FrontierSpec extends SparkSpecBase {
     val id1 = seen.table.currentSnapshotId.get
     seen.add((100L until 200L).toDF("url_hash"))
     val id2 = seen.table.currentSnapshotId.get
+    seen.add((200L until 300L).toDF("url_hash"))
+    val id3 = seen.table.currentSnapshotId.get
     val f1 = graft.frontier.BloomProbe.filterFor(root, id1, 0)
     val f2 = graft.frontier.BloomProbe.filterFor(root, id2, 0)
     assert(f1 ne f2)
-    // re-requesting the newest is a hit; requesting the old one replaces it
+    // two in-flight generations (pipelined epochs) are BOTH cache hits
+    assert(graft.frontier.BloomProbe.filterFor(root, id2, 0) eq f2)
+    assert(graft.frontier.BloomProbe.filterFor(root, id1, 0) eq f1)
+    // a third generation evicts the oldest, keeping the two newest
+    val f3 = graft.frontier.BloomProbe.filterFor(root, id3, 0)
+    assert(graft.frontier.BloomProbe.filterFor(root, id3, 0) eq f3)
     assert(graft.frontier.BloomProbe.filterFor(root, id2, 0) eq f2)
     val f1again = graft.frontier.BloomProbe.filterFor(root, id1, 0)
-    assert(f1again ne f2, "rollback generation must replace the cached one")
+    assert(f1again ne f1, "oldest generation must have been evicted")
   }
 
   test("filterUnseen: single frontier scan, probe codegen-compiles, exact result") {
