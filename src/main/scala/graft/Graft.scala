@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   *   val spark = Graft.session()                 // tuned local session
   *   Graft.init(spark)                           // register all expressions
   *   val c5 = graft.pipeline.MainPipeline.annotate(fetchedDocs)
+  *
+  *   // crawl epochs (north-rule pipeline) over a state root:
+  *   import graft.crawl.CrawlEpoch
+  *   CrawlEpoch.seed(root, spark, seeds)
+  *   val m = CrawlEpoch.run(root, spark, pages, images, Some(robots),
+  *     budgetPerHost = 100, epoch = 1)           // or start/finish to pipeline
+  *   CrawlEpoch.requeueFailures(root, spark, epoch = 1) // retry failed fetches
+  *   CrawlEpoch.expireState(root, spark, keepLast = 2)  // storage maintenance
   * }}}
   *
   * On a cluster, build your own session and just call `Graft.init`.
