@@ -160,9 +160,11 @@ object Queries {
   // footer div (url2) — so the arrays carry MULTIPLE entries, the 3-key sort
   // (meta_tag before a_tag), per-license head/footer flags, contexts, and
   // the disagreement rule are all exercised. The oracle states each parallel
-  // array in closed form; arrays are compared as top-level list columns
-  // (nested-struct parquet→pandas comparison is driver-hostile, the CONTENT
-  // is what the check covers — the struct shape is schema-spec'd).
+  // array in closed form. Each array is emitted as its `to_json` rendering —
+  // a scalar string column — because the comparison harness cannot hash/sort
+  // list-typed columns; Spark's Jackson and DuckDB's to_json produce
+  // byte-identical compact JSON (`["a","b",null]`, `[true,false]`, `\"`
+  // escaping), so content equality is still exact per element.
   def qLicenseStruct(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import graft.functions.GraftFunctions._
@@ -176,16 +178,18 @@ object Queries {
     val annotated = t(s, dir, "documents")
       .select(col("doc_id"), extractCcLicenses(html).as("x"))
     val metaCols = licenseMetadataColumns(col("x"))
+    def pl(field: String, as: String): Column =
+      to_json(col("potential_licenses").getField(field)).as(as)
     annotated.select(col("doc_id") +: metaCols: _*)
       .select(col("doc_id"), col("license_abbr"), col("license_disagreement"),
-        col("potential_licenses").getField("abbr").as("pl_abbr"),
-        col("potential_licenses").getField("version").as("pl_version"),
-        col("potential_licenses").getField("location").as("pl_location"),
-        col("potential_licenses").getField("in_head").as("pl_in_head"),
-        col("potential_licenses").getField("in_footer").as("pl_in_footer"),
-        col("potential_licenses").getField("element").as("pl_element"),
-        col("potential_licenses").getField("left_context").as("pl_left_context"),
-        col("potential_licenses").getField("right_context").as("pl_right_context"))
+        pl("abbr", "pl_abbr"),
+        pl("version", "pl_version"),
+        pl("location", "pl_location"),
+        pl("in_head", "pl_in_head"),
+        pl("in_footer", "pl_in_footer"),
+        pl("element", "pl_element"),
+        pl("left_context", "pl_left_context"),
+        pl("right_context", "pl_right_context"))
       .orderBy(col("doc_id"))
   }
 
@@ -215,24 +219,24 @@ object Queries {
        |  COALESCE(abbr1, abbr2) AS license_abbr,
        |  (abbr1 IS NOT NULL AND abbr2 IS NOT NULL AND abbr1 <> abbr2)
        |    AS license_disagreement,
-       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [abbr1, abbr2]
-       |       WHEN abbr1 IS NOT NULL THEN [abbr1] ELSE [abbr2] END AS pl_abbr,
-       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [ver1, ver2]
-       |       WHEN abbr1 IS NOT NULL THEN [ver1] ELSE [ver2] END AS pl_version,
-       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['meta_tag', 'a_tag']
-       |       WHEN abbr1 IS NOT NULL THEN ['meta_tag'] ELSE ['a_tag'] END AS pl_location,
-       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [TRUE, FALSE]
-       |       WHEN abbr1 IS NOT NULL THEN [TRUE] ELSE [FALSE] END AS pl_in_head,
-       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [FALSE, TRUE]
-       |       WHEN abbr1 IS NOT NULL THEN [FALSE] ELSE [TRUE] END AS pl_in_footer,
-       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [el1, el2]
-       |       WHEN abbr1 IS NOT NULL THEN [el1] ELSE [el2] END AS pl_element,
-       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL
-       |         THEN ['', 'Shared body sentence.']
-       |       WHEN abbr1 IS NOT NULL THEN ['']
-       |       ELSE ['Shared body sentence.'] END AS pl_left_context,
-       |  CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['', '']
-       |       ELSE [''] END AS pl_right_context
+  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [abbr1, abbr2]
+       WHEN abbr1 IS NOT NULL THEN [abbr1] ELSE [abbr2] END) AS VARCHAR) AS pl_abbr,
+  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [ver1, ver2]
+       WHEN abbr1 IS NOT NULL THEN [ver1] ELSE [ver2] END) AS VARCHAR) AS pl_version,
+  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['meta_tag', 'a_tag']
+       WHEN abbr1 IS NOT NULL THEN ['meta_tag'] ELSE ['a_tag'] END) AS VARCHAR) AS pl_location,
+  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [TRUE, FALSE]
+       WHEN abbr1 IS NOT NULL THEN [TRUE] ELSE [FALSE] END) AS VARCHAR) AS pl_in_head,
+  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [FALSE, TRUE]
+       WHEN abbr1 IS NOT NULL THEN [FALSE] ELSE [TRUE] END) AS VARCHAR) AS pl_in_footer,
+  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [el1, el2]
+       WHEN abbr1 IS NOT NULL THEN [el1] ELSE [el2] END) AS VARCHAR) AS pl_element,
+  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL
+         THEN ['', 'Shared body sentence.']
+       WHEN abbr1 IS NOT NULL THEN ['']
+       ELSE ['Shared body sentence.'] END) AS VARCHAR) AS pl_left_context,
+  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['', '']
+       ELSE [''] END) AS VARCHAR) AS pl_right_context
        |FROM e
        |ORDER BY doc_id""".stripMargin
   }
