@@ -39,6 +39,17 @@ object ExplainAudit {
       println("\n================ crawl: schedule (seen set non-empty) ================")
       Scheduler.scheduleEpoch(frontier, seen, Some(graft.gen.SyntheticCorpus.robots(spark)),
         budgetPerHost = 5).explain("formatted")
+      // robots fallback path: host count unknown/over threshold → the gate
+      // join must NOT broadcast the robots side (10^8-host safety); the
+      // schedule itself is byte-identical to the broadcast path (spec'd in
+      // FrontierSpec "robots gate").
+      println("\n================ crawl: schedule (robots hash-join fallback) ================")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      Scheduler.scheduleEpoch(frontier, seen, Some(graft.gen.SyntheticCorpus.robots(spark)),
+        budgetPerHost = 5, robotsHosts = Long.MaxValue).explain("formatted")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       println("\n================ crawl: fetch join (broadcast schedule) ================")
       val pages = graft.gen.SyntheticCorpus.pages(spark, 5000)
         .withColumnsRenamed(Map("url" -> "page_url"))

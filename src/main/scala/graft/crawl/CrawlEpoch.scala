@@ -118,20 +118,35 @@ object CrawlEpoch {
     // The cache COMMIT (which does scan the frontier once to record negative
     // verdicts for new hosts) gates nothing and runs in the concurrent stage
     // block, hidden under the fetch/decode stage's wall clock.
-    val robotsCache: Option[(SnapshotTable, DataFrame, DataFrame)] = robots.map { src =>
+    // Gating-table host-count bound for the broadcast decision: |cache ∪
+    // (src \ cache)| ≤ cacheRows (known exactly from the current manifest) +
+    // srcRows (known only when the optimizer has a row-count estimate for
+    // the source — no counting job is ever run for this). Unknown ⇒
+    // Long.MaxValue ⇒ Scheduler.applyRobots stays unhinted (safe at 10^8
+    // hosts; AQE still broadcast-converts a genuinely small gate at runtime).
+    val robotsCache: Option[(SnapshotTable, DataFrame, DataFrame, Long)] = robots.map { src =>
       val cacheT = new SnapshotTable(s"$stateRoot/robots", spark)
       val known = if (cacheT.exists) Some(cacheT.read()) else None
       val forSchedule = known.fold(src)(k =>
         k.unionByName(src.join(k.select(col("host")), Seq("host"), "left_anti")))
+      val cacheRows = cacheT.currentSnapshotId.flatMap(cacheT.manifest)
+        .map(_.get("row_count").asLong)
+      val srcRows = src.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.longValue)
+      val hostBound = (known, cacheRows, srcRows) match {
+        case (None, _, Some(s))          => s
+        case (Some(_), Some(c), Some(s)) => c + s
+        case _                           => Long.MaxValue
+      }
       val hosts = frontier.read()
         .select(GraftFunctions.urlHost(col("url")).as("host")).distinct()
       val missing = known.fold(hosts)(k =>
         hosts.join(k.select(col("host")), Seq("host"), "left_anti"))
       val fetched = missing.join(src, Seq("host"), "left") // null = no robots.txt
-      (cacheT, fetched, forSchedule)
+      (cacheT, fetched, forSchedule, hostBound)
     }
 
-    def runRobotsStage(): Unit = robotsCache.foreach { case (cacheT, fetched, _) =>
+    def runRobotsStage(): Unit = robotsCache.foreach { case (cacheT, fetched, _, _) =>
       if (!cacheT.stageDone(epoch, "robots")) {
         if (cacheT.exists) cacheT.commitDelta(fetched, Map("epoch" -> epoch.toString))
         else cacheT.commit(fetched, Map("epoch" -> epoch.toString))
@@ -142,7 +157,8 @@ object CrawlEpoch {
     // --- stage 1: schedule ---------------------------------------------------
     if (!schedTable.stageDone(epoch, "scheduled")) timed("schedule") {
       val sch = Scheduler.scheduleEpoch(frontier.read(), seen,
-        robotsCache.map(_._3), budgetPerHost)
+        robotsCache.map(_._3), budgetPerHost,
+        robotsHosts = robotsCache.map(_._4).getOrElse(Long.MaxValue))
       schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
       schedTable.markStage(epoch, "scheduled")
     }

@@ -37,13 +37,34 @@ object Scheduler {
       .agg(max(col("priority")).as("priority"), min(col("url")).as("url"))
   }
 
+  /** Broadcast cap for the robots gate, in hosts. "Per-host" is NOT tiny at
+    * the target scale: a 10^10-URL frontier implies ~10^8 hosts, and the
+    * robots cache stores every host's verdict including negative entries —
+    * a forced broadcast there is a multi-GB driver/executor OOM. */
+  def robotsBroadcastMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.bcastRobotsMax")
+      .orElse(sys.env.get("SPARK_GRAFT_BCAST_ROBOTS_MAX"))
+      .map(_.toLong).getOrElse(4000000L)
+
   /** robots gate: drop rows whose canonical path starts with any disallowed
     * prefix for the host. `robots` = (host, disallowed array<string>).
-    * Broadcast: the robots table is per-host, tiny relative to the frontier. */
-  def applyRobots(frontier: DataFrame, robots: DataFrame): DataFrame = {
+    *
+    * Join discipline (same as the fetch join in CrawlEpoch): broadcast ONLY
+    * when the robots host count is known to fit under
+    * [[robotsBroadcastMax]]; otherwise (including `robotsHosts` unknown =
+    * `Long.MaxValue`, the safe default) leave the join unhinted — a plain
+    * hash join on `host` at scale, while AQE still runtime-converts to
+    * broadcast when the robots side turns out genuinely small. Either path
+    * produces the identical schedule: the join is the same left join, only
+    * the physical strategy differs. */
+  def applyRobots(frontier: DataFrame, robots: DataFrame,
+      robotsHosts: Long = Long.MaxValue): DataFrame = {
+    val gate =
+      if (robotsHosts <= robotsBroadcastMax(frontier.sparkSession)) broadcast(robots)
+      else robots
     val path = regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", "")
     frontier
-      .join(broadcast(robots), Seq("host"), "left")
+      .join(gate, Seq("host"), "left")
       .withColumn("__path", path)
       .filter(col("disallowed").isNull ||
         !exists(col("disallowed"), d => col("__path").startsWith(d)))
@@ -73,10 +94,11 @@ object Scheduler {
       rawFrontier: DataFrame,
       seenSet: SeenSet,
       robots: Option[DataFrame],
-      budgetPerHost: Int): DataFrame = {
+      budgetPerHost: Int,
+      robotsHosts: Long = Long.MaxValue): DataFrame = {
     val normalized = normalize(rawFrontier)
     val unseen = seenSet.filterUnseen(normalized)
-    val allowed = robots.fold(unseen)(applyRobots(unseen, _))
+    val allowed = robots.fold(unseen)(applyRobots(unseen, _, robotsHosts))
     politenessSelect(allowed, budgetPerHost)
       .select(col("url"), col("canon_url"), col("host"), col("url_hash"),
         col("priority"), col("host_rank"))

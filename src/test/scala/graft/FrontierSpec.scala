@@ -273,6 +273,46 @@ class FrontierSpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("robots gate: byte-equal schedule on broadcast and fallback hash-join paths") {
+    val seeds = SyntheticCorpus.seedUrls(spark, 3000, pageCount = 2000)
+    val robots = SyntheticCorpus.robots(spark)
+    // Pin every auto-broadcast lever off so the fallback path genuinely
+    // exercises the non-broadcast physical join, as it would at 10^8 hosts.
+    def runWith(robotsHosts: Long, noAutoBcast: Boolean): (Seq[(String, Int)], String) = {
+      val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+        k -> spark.conf.getOption(k))
+      try {
+        if (noAutoBcast) saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+        val emptySeen = new SeenSet(tmpDir("s"), spark)
+        val sch = Scheduler.scheduleEpoch(seeds, emptySeen, Some(robots),
+          budgetPerHost = 3, robotsHosts = robotsHosts)
+        val rows = sch.select(col("canon_url"), col("host_rank")).collect()
+          .map(r => (r.getString(0), r.getInt(1))).sortBy(identity).toSeq
+        (rows, sch.queryExecution.executedPlan.toString)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    val (bcastRows, bcastPlan) = runWith(robotsHosts = 64L, noAutoBcast = true)
+    val (hashRows, hashPlan) = runWith(robotsHosts = Long.MaxValue, noAutoBcast = true)
+    assert(bcastPlan.contains("BroadcastHashJoin"),
+      "known-small robots side must take the broadcast path")
+    assert(!hashPlan.contains("BroadcastHashJoin"),
+      "unknown/large robots side must fall back to a non-broadcast join")
+    assert(bcastRows === hashRows, "schedule differs between join strategies")
+    assert(bcastRows.nonEmpty)
+    // robots actually gated (every 7th host disallows its /page/1* range):
+    // no disallowed row survives, while /page/1* rows on ungated hosts do.
+    def siteNo(u: String) = u.replaceAll("^http://site", "").replaceAll("\\..*", "").toInt
+    def path(u: String) = u.replaceAll("^http://[^/]*", "")
+    val page1 = bcastRows.filter { case (u, _) => path(u).startsWith("/page/1") }
+    assert(page1.nonEmpty, "corpus must schedule some /page/1* rows on ungated hosts")
+    val disallowed = page1.filter { case (u, _) => siteNo(u) % 7 == 0 }
+    assert(disallowed.isEmpty, s"robots-disallowed rows scheduled: ${disallowed.take(3)}")
+  }
+
   test("scheduler: politeness budget never exceeded per host") {
     val seeds = SyntheticCorpus.seedUrls(spark, 5000, pageCount = 1000)
     val emptySeen = new SeenSet(tmpDir("s"), spark)
