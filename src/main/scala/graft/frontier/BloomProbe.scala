@@ -108,30 +108,38 @@ case class BloomMightContain(hash: Expression, rootExpr: Expression, idExpr: Exp
     copy(hash = newFirst, rootExpr = newSecond, idExpr = newThird)
 }
 
-/** Executor-side access to the [[SeenSet]] tombstone cuckoo sidecar (the
+/** Executor-side access to the [[SeenSet]] tombstone cuckoo sidecars (the
   * deletion-capable companion of the Bloom shards: retracted keys live here
-  * until re-added). One resident generation per root, like [[BloomProbe]];
-  * tombstone sets are epoch-delta sized, so a single unsharded filter
-  * suffices (16 bits/key ⇒ 10^8 tombstones ≈ 250 MB). */
+  * until re-added). Sharded like the Bloom sidecars — tasks load only the
+  * shards their rows hash to — and, like [[BloomProbe]], the cache keeps
+  * AT MOST TWO generations per (root, shard): pipelined epochs probe two
+  * tombstone snapshot ids of the same root concurrently (stage-3 add's
+  * clearTombstones commits a new tid while stage-4 probes the old one), and
+  * a one-slot cache would re-read a shard file per mismatching row. */
 object CuckooProbe {
 
+  // (root#shard) -> up to two (snapshotId, filter) generations, newest first
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, CuckooFilter)]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[(Long, CuckooFilter)]]()
 
-  private[graft] def filterFor(root: String, id: Long): CuckooFilter = {
-    val cur = cache.get(root)
-    if (cur != null && cur._1 == id) cur._2
-    else {
-      val cf = CuckooFilter.deserialize(
-        Files.readAllBytes(Paths.get(root, "snapshots", s"cuckoo-v$id.bin")))
-      cache.put(root, (id, cf))
-      cf
+  private[graft] def filterFor(root: String, id: Long, shard: Int): CuckooFilter = {
+    val key = s"$root#$shard"
+    val cur = cache.get(key)
+    val hit = if (cur != null) cur.find(_._1 == id) else None
+    hit match {
+      case Some((_, cf)) => cf
+      case None =>
+        val cf = CuckooFilter.deserialize(Files.readAllBytes(
+          SeenSet.cuckooShardPath(root, id, shard)))
+        val prev = if (cur == null) Nil else cur.filterNot(_._1 == id)
+        cache.put(key, ((id, cf) :: prev).take(2))
+        cf
     }
   }
 
   /** Static probe entry point for generated code. */
   def probe(root: String, id: Long, h: Long): Boolean =
-    filterFor(root, id).contains(h)
+    filterFor(root, id, SeenSet.shardOf(h)).contains(h)
 }
 
 /** `cuckoo_might_contain(url_hash, root, snapshot_id)` — codegen'd probe of

@@ -56,20 +56,22 @@ final class SeenSet(root: String, spark: SparkSession,
   val table = new SnapshotTable(root, spark)
 
   /** Tombstones: keys retracted from the set (forced recrawl / failed-fetch
-    * retry) until re-added. Exact membership lives in this small snapshot
-    * table; the fast probe is a CUCKOO sidecar per tombstone snapshot —
+    * retry) until re-added. Exact membership lives in this snapshot table;
+    * the fast probe is a SHARDED cuckoo sidecar per tombstone snapshot
+    * (shard = url_hash mod ShardCount, same fan-out as the Bloom shards) —
     * deletion-capable, so a re-add removes the key's fingerprint in place
-    * instead of rebuilding (a Bloom filter cannot delete). Tombstone sets are
-    * epoch-delta sized by contract (retraction is episodic — a failed epoch's
-    * URLs — never the accumulated crawl), so one unsharded filter built on
-    * the driver suffices: 10^8 tombstones ≈ 250 MB at 16 bits/key. */
+    * instead of rebuilding (a Bloom filter cannot delete). Tombstone sets
+    * are usually epoch-delta sized, but `requeueFailures` retracts an
+    * epoch's whole FAILED set and at 10^10-URL scale transient failures are
+    * the norm — so the filters are BUILT ON EXECUTORS (one task per shard,
+    * only serialized filter bytes ever reach the driver) and the exact
+    * anti-join in [[liveKeys]] broadcasts only below a row-count threshold. */
   private val tombTable = new SnapshotTable(s"$root/tombstones", spark)
+  private def tombRoot = s"$root/tombstones"
 
   private def bloomPath(id: Long, shard: Int) =
     Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin")
   private def metaPath = Paths.get(root, "snapshots", "bloom-meta.json")
-  private def cuckooPath(tid: Long) =
-    Paths.get(root, "tombstones", "snapshots", s"cuckoo-v$tid.bin")
 
   def isEmpty: Boolean = !table.exists
 
@@ -93,18 +95,23 @@ final class SeenSet(root: String, spark: SparkSession,
     val tid = tombTable.currentSnapshotId
     if (tombstoneCount == 0L || tid.isEmpty) k
     else {
-      val tombs = tombTable.read().withColumnRenamed("url_hash", "__tomb_hash")
-      if (Files.exists(cuckooPath(tid.get))) {
+      // Broadcast the exact tombstone table only while it is genuinely
+      // small; a mostly-failed epoch at 10^10-URL scale retracts ~10^8 rows,
+      // which must shuffle, not broadcast (the guard ADVICE asked for).
+      val raw = tombTable.read().withColumnRenamed("url_hash", "__tomb_hash")
+      val tombs =
+        if (tombstoneCount <= SeenSet.tombBroadcastMax(spark)) broadcast(raw) else raw
+      if (SeenSet.cuckooShardsPresent(tombRoot, tid.get)) {
         GraftFunctions.register(spark)
         val probe = call_function("cuckoo_might_contain",
-          col("url_hash"), lit(s"$root/tombstones"), lit(tid.get))
+          col("url_hash"), lit(tombRoot), lit(tid.get))
         k.withColumn("__maybe_retracted", probe)
-          .join(broadcast(tombs),
+          .join(tombs,
             col("url_hash") === col("__tomb_hash") && col("__maybe_retracted"),
             "left_anti")
           .drop("__maybe_retracted")
       } else { // sidecar lost (crash between commit and write): exact-only path
-        k.join(broadcast(tombs), col("url_hash") === col("__tomb_hash"), "left_anti")
+        k.join(tombs, col("url_hash") === col("__tomb_hash"), "left_anti")
       }
     }
   }
@@ -122,54 +129,46 @@ final class SeenSet(root: String, spark: SparkSession,
       if (tombTable.exists) tombTable.read().unionByName(toRetract).distinct()
       else toRetract
     val tid = tombTable.commit(combined, lineage)
-    writeCuckoo(tid, collectTombstones(tid))
+    writeCuckoo(tid)
     tid
   }
 
-  private def collectTombstones(tid: Long): Array[Long] = {
-    import spark.implicits._
-    tombTable.readAt(tid).select(col("url_hash")).as[Long].collect()
-  }
-
-  private def writeCuckoo(tid: Long, hashes: Array[Long]): Unit = {
-    var cf = CuckooFilter.forCapacity(math.max(64L, hashes.length.toLong))
-    var i = 0
-    while (i < hashes.length) {
-      if (!cf.insert(hashes(i))) { // saturated (dup-heavy fingerprints): grow and restart
-        cf = new CuckooFilter(cf.nBuckets * 2); i = -1
-      }
-      i += 1
-    }
-    writeFilter(tid, cf)
-  }
-
-  private def writeFilter(tid: Long, cf: CuckooFilter): Unit = {
-    val tmp = Paths.get(root, "tombstones", "snapshots", s"cuckoo-v$tid.bin.tmp")
-    Files.createDirectories(tmp.getParent)
-    Files.write(tmp, cf.serialize())
-    Files.move(tmp, cuckooPath(tid), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Build + write the sharded cuckoo sidecar for tombstone snapshot `tid`.
+    * Fully distributed: one executor task per shard inserts that shard's
+    * keys; only the ShardCount serialized filters (bytes, not rows) come
+    * back to the driver for the atomic sidecar write. */
+  private def writeCuckoo(tid: Long): Unit = {
+    val total = tombTable.manifest(tid).map(_.get("row_count").asLong).getOrElse(0L)
+    val blobs = SeenSet.buildCuckooShards(
+      tombTable.readAt(tid).select(col("url_hash")), total)
+    SeenSet.writeCuckooShardFiles(tombRoot, tid, blobs)
   }
 
   /** Re-adding a retracted key clears its tombstone: the exact set shrinks
     * by an anti-join and the cuckoo sidecar DELETES the fingerprints in
     * place — the capability a Bloom filter lacks and the reason the
-    * tombstone probe is a cuckoo filter, not a 17th Bloom shard. */
+    * tombstone probe is a cuckoo filter, not a 17th Bloom shard. Each shard
+    * with deletions is edited by its own executor task; untouched shards
+    * are carried over byte-for-byte. Re-added keys never reach the driver. */
   private def clearTombstones(newKeys: DataFrame): Unit = {
-    val tid = tombTable.currentSnapshotId
-    if (tombstoneCount == 0L || tid.isEmpty) return
-    import spark.implicits._
-    val reAdded = tombTable.read().join(newKeys, Seq("url_hash"), "left_semi")
-      .select(col("url_hash")).as[Long].collect()
-    if (reAdded.isEmpty) return
-    val remaining = tombTable.read().join(newKeys, Seq("url_hash"), "left_anti")
+    val oldTid = tombTable.currentSnapshotId
+    if (tombstoneCount == 0L || oldTid.isEmpty) return
+    // Pin reads to the CURRENT snapshot: the deletion job below runs after
+    // the `remaining` commit, and an unpinned read() would re-resolve to the
+    // new snapshot and delete nothing.
+    val old = tombTable.readAt(oldTid.get)
+    val reAdded = old.join(newKeys, Seq("url_hash"), "left_semi")
+      .select(col("url_hash"))
+    val nReAdded = reAdded.count()
+    if (nReAdded == 0L) return
+    val remaining = old.join(newKeys, Seq("url_hash"), "left_anti")
     val newTid = tombTable.commit(remaining,
-      Map("cleared" -> reAdded.length.toString))
-    if (Files.exists(cuckooPath(tid.get))) {
-      val cf = CuckooFilter.deserialize(Files.readAllBytes(cuckooPath(tid.get)))
-      reAdded.foreach(cf.delete)
-      writeFilter(newTid, cf)
-    } else writeCuckoo(newTid, collectTombstones(newTid))
+      Map("cleared" -> nReAdded.toString))
+    if (SeenSet.cuckooShardsPresent(tombRoot, oldTid.get)) {
+      val edited = SeenSet.deleteFromCuckooShards(tombRoot, oldTid.get, reAdded)
+      SeenSet.writeCuckooShardFiles(tombRoot, newTid, edited,
+        carryOverFrom = Some(oldTid.get))
+    } else writeCuckoo(newTid)
   }
 
   /** Per-shard Bloom capacity, fixed at first build (merge compatibility). */
@@ -356,4 +355,99 @@ object SeenSet {
   private[graft] def shardFilesPresent(root: String, id: Long): Boolean =
     (0 until ShardCount).forall(s =>
       Files.exists(Paths.get(root, "snapshots", s"bloom-v$id-s$s.bin")))
+
+  // --- sharded cuckoo sidecars (tombstone probe) ---------------------------
+
+  /** Row-count cap for broadcasting the exact tombstone table in
+    * [[SeenSet.liveKeys]]; beyond it the anti-join shuffles. */
+  private[graft] def tombBroadcastMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.bcastTombMax")
+      .orElse(sys.env.get("SPARK_GRAFT_BCAST_TOMB_MAX"))
+      .map(_.toLong).getOrElse(4000000L)
+
+  private[graft] def cuckooShardPath(root: String, id: Long, shard: Int) =
+    Paths.get(root, "snapshots", s"cuckoo-v$id-s$shard.bin")
+
+  private[graft] def cuckooShardsPresent(root: String, id: Long): Boolean =
+    (0 until ShardCount).forall(s => Files.exists(cuckooShardPath(root, id, s)))
+
+  /** Routes pre-computed shard ids to their own partition (identity map). */
+  private final class ShardPartitioner extends org.apache.spark.Partitioner {
+    def numPartitions: Int = ShardCount
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** Build all [[ShardCount]] cuckoo shards over `keys` (column `url_hash`)
+    * on EXECUTORS: one task per shard; keys are sorted within the shard so
+    * the filter bits are identical at any parallelism (eviction order is
+    * insertion-order dependent); only serialized filters travel to the
+    * driver. Saturation (dup-heavy fingerprints) grows the shard and
+    * restarts its inserts, as the driver-side build did. */
+  private[graft] def buildCuckooShards(keysDf: DataFrame, total: Long): Array[Array[Byte]] = {
+    import keysDf.sparkSession.implicits._
+    val perShard = math.max(64L, 2L * total / ShardCount)
+    val parts = keysDf.select(col("url_hash")).as[Long].rdd
+      .map(h => (shardOf(h), h))
+      .partitionBy(new ShardPartitioner)
+      .mapPartitionsWithIndex { (shard, it) =>
+        val keys = it.map(_._2).toArray
+        java.util.Arrays.sort(keys)
+        var cf = CuckooFilter.forCapacity(math.max(perShard, keys.length.toLong))
+        var i = 0
+        while (i < keys.length) {
+          if (!cf.insert(keys(i))) { cf = new CuckooFilter(cf.nBuckets * 2); i = -1 }
+          i += 1
+        }
+        Iterator((shard, cf.serialize()))
+      }.collect()
+    val out = new Array[Array[Byte]](ShardCount)
+    parts.foreach { case (s, b) => out(s) = b }
+    out
+  }
+
+  /** Per-shard in-place DELETION of `delKeys` from snapshot `oldId`'s
+    * sidecars: each shard with deletions is read, edited, and re-serialized
+    * by its own executor task (shared-store sidecar files, same access
+    * pattern as the probe side); shards without deletions return null and
+    * are carried over by the writer. */
+  private[graft] def deleteFromCuckooShards(root: String, oldId: Long,
+      delKeys: DataFrame): Array[Array[Byte]] = {
+    import delKeys.sparkSession.implicits._
+    val parts = delKeys.select(col("url_hash")).as[Long].rdd
+      .map(h => (shardOf(h), h))
+      .partitionBy(new ShardPartitioner)
+      .mapPartitionsWithIndex { (shard, it) =>
+        val keys = it.map(_._2).toArray
+        if (keys.isEmpty) Iterator.empty
+        else {
+          java.util.Arrays.sort(keys)
+          val cf = CuckooFilter.deserialize(
+            Files.readAllBytes(cuckooShardPath(root, oldId, shard)))
+          keys.foreach(cf.delete)
+          Iterator((shard, cf.serialize()))
+        }
+      }.collect()
+    val out = new Array[Array[Byte]](ShardCount)
+    parts.foreach { case (s, b) => out(s) = b }
+    out
+  }
+
+  /** Atomically write cuckoo shard sidecars for snapshot `id`. A null entry
+    * carries the shard over from `carryOverFrom` byte-for-byte (the
+    * untouched-shard fast path of the deletion edit). */
+  private[graft] def writeCuckooShardFiles(root: String, id: Long,
+      shards: Array[Array[Byte]], carryOverFrom: Option[Long] = None): Unit =
+    shards.zipWithIndex.foreach { case (bytes, shard) =>
+      val dest = cuckooShardPath(root, id, shard)
+      val tmp = Paths.get(root, "snapshots", s"cuckoo-v$id-s$shard.bin.tmp")
+      Files.createDirectories(dest.getParent)
+      val payload = bytes match {
+        case null =>
+          Files.readAllBytes(cuckooShardPath(root, carryOverFrom.get, shard))
+        case b => b
+      }
+      Files.write(tmp, payload)
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
 }

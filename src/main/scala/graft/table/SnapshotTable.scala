@@ -212,7 +212,7 @@ final class SnapshotTable(val root: String, spark: SparkSession,
 
   /** Expire all but the newest `keepLast` snapshots (Iceberg
     * `expire_snapshots` maintenance): deletes their manifests, their
-    * per-snapshot sidecar files (`bloom-v<id>-*`, `cuckoo-v<id>.bin`), and
+    * per-snapshot sidecar files (`bloom-v<id>-*`, `cuckoo-v<id>-*`), and
     * any data directory no RETAINED snapshot references — delta chains list
     * ancestor dirs in their own manifest (`data_dirs`), so a retained delta
     * snapshot keeps its whole chain readable. Without expiry a per-epoch
@@ -244,7 +244,7 @@ final class SnapshotTable(val root: String, spark: SparkSession,
         }
         snapFiles.filter { p =>
           val n = p.getFileName.toString
-          n == s"v$id.json" || n == s"cuckoo-v$id.bin" ||
+          n == s"v$id.json" || n.startsWith(s"cuckoo-v$id-") ||
             n.startsWith(s"bloom-v$id-")
         }.foreach(Files.deleteIfExists)
       }

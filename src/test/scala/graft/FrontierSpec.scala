@@ -251,6 +251,50 @@ class FrontierSpec extends SparkSpecBase {
     assert(seen.liveKeys().count() === 4999L)
   }
 
+  test("seen set: 10^6-key retraction builds sharded cuckoo sidecars on executors") {
+    import spark.implicits._
+    val root = tmpDir("seenbig")
+    val seen = new SeenSet(root, spark)
+    seen.add(spark.range(1200000L).select(col("id").as("url_hash")))
+    // retract a mostly-failed epoch's worth of keys — the scale case the
+    // driver-side build OOM'd on; keys must never be collect()ed
+    val tid = seen.retract(spark.range(1000000L).select(col("id").as("url_hash")))
+    // all 16 shard sidecars written for the tombstone snapshot
+    assert((0 until SeenSet.ShardCount).forall(s => java.nio.file.Files.exists(
+      SeenSet.cuckooShardPath(s"$root/tombstones", tid, s))))
+    // retracted keys are unseen again; non-retracted stay seen
+    val probeIn = spark.range(1200000L).select(col("id").as("url_hash"))
+    assert(seen.filterUnseen(probeIn).count() === 1000000L)
+    assert(seen.liveKeys().count() === 200000L)
+    // re-add half: per-shard in-place deletion, untouched shards carried over
+    seen.add(spark.range(500000L).select(col("id").as("url_hash")))
+    assert(seen.filterUnseen(probeIn).count() === 500000L)
+    assert(seen.liveKeys().count() === 700000L)
+  }
+
+  test("cuckoo probe: executor cache keeps at most two generations per shard") {
+    import spark.implicits._
+    val root = tmpDir("seengen")
+    val seen = new SeenSet(root, spark)
+    seen.add((0L until 3000L).toDF("url_hash"))
+    val t1 = seen.retract((0L until 100L).toDF("url_hash"))
+    val t2 = seen.retract((100L until 200L).toDF("url_hash"))
+    val t3 = seen.retract((200L until 300L).toDF("url_hash"))
+    val tombRoot = s"$root/tombstones"
+    // two in-flight generations (pipelined epochs) are BOTH cache hits; a
+    // third evicts the oldest — same discipline as the Bloom shard cache
+    import graft.frontier.CuckooProbe.filterFor
+    val f1 = filterFor(tombRoot, t1, 0)
+    val f2 = filterFor(tombRoot, t2, 0)
+    assert(f1 ne f2)
+    assert(filterFor(tombRoot, t2, 0) eq f2)
+    assert(filterFor(tombRoot, t1, 0) eq f1)
+    val f3 = filterFor(tombRoot, t3, 0)
+    assert(filterFor(tombRoot, t3, 0) eq f3)
+    assert(filterFor(tombRoot, t2, 0) eq f2)
+    assert(filterFor(tombRoot, t1, 0) ne f1, "oldest generation must have been evicted")
+  }
+
   // --- scheduler determinism + politeness -------------------------------------
 
   test("scheduler: identical schedule at different parallelism and partitioning") {
