@@ -55,9 +55,15 @@ object CrawlEpoch {
   def frontierTable(stateRoot: String, spark: SparkSession) =
     new SnapshotTable(s"$stateRoot/frontier", spark)
 
-  /** Install the epoch-0 frontier from a seed list (url, priority). */
-  def seed(stateRoot: String, spark: SparkSession, seeds: DataFrame): Unit =
-    frontierTable(stateRoot, spark).commit(seeds, Map("stage" -> "seed"))
+  /** Install the epoch-0 frontier from a seed list (url, priority).
+    * A `retries` column (per-URL retry count, see [[requeueFailures]]) is
+    * added as 0 when absent so the frontier schema is stable from epoch 0. */
+  def seed(stateRoot: String, spark: SparkSession, seeds: DataFrame): Unit = {
+    val withRetries =
+      if (seeds.columns.contains("retries")) seeds
+      else seeds.withColumn("retries", lit(0))
+    frontierTable(stateRoot, spark).commit(withRetries, Map("stage" -> "seed"))
+  }
 
   /** Run (or resume) epoch `epoch`, awaiting every stage. */
   def run(
@@ -334,7 +340,11 @@ object CrawlEpoch {
             .join(schedKeys, semiCond, "left_semi")
             .select(explode(col("__links")).as("url"))
       val links = links0.withColumn("priority", lit(linkPriorityDecay))
-      val backlog = frontier.read() // URLs not scheduled this epoch stay queued
+        .withColumn("retries", lit(0)) // discovered URLs start a fresh budget
+      val backlog0 = frontier.read() // URLs not scheduled this epoch stay queued
+      val backlog = // legacy pre-retries frontiers read as retries = 0
+        if (backlog0.columns.contains("retries")) backlog0
+        else backlog0.withColumn("retries", lit(0))
       // The frontier SHEDS: (a) everything scheduled this epoch, (b) links to
       // already-crawled pages — without this the table grows monotonically
       // with every URL ever crawled (round-1 scale bug: compounding commit
@@ -345,14 +355,16 @@ object CrawlEpoch {
       // only other shuffle inputs, both epoch-sized. Keys are the same
       // 64-bit canonical-url hashes the seen set stores, so shedding is
       // membership-consistent with scheduling.
-      val merged = backlog.select(col("url"), col("priority"))
+      val merged = backlog.select(col("url"), col("priority"), col("retries"))
         .unionByName(links)
         .withColumn("url_hash", GraftFunctions.urlHash64(col("url")))
         .groupBy(col("url_hash"))
-        .agg(max(col("priority")).as("priority"), min(col("url")).as("url"))
+        .agg(max(col("priority")).as("priority"), min(col("url")).as("url"),
+          max(col("retries")).as("retries"))
       val unscheduled = merged.join(
         scheduled.select(col("url_hash")), Seq("url_hash"), "left_anti")
-      val next = seen.filterUnseen(unscheduled).select(col("url"), col("priority"))
+      val next = seen.filterUnseen(unscheduled)
+        .select(col("url"), col("priority"), col("retries"))
       frontier.commit(next, Map("epoch" -> epoch.toString, "stage" -> "frontier"))
       frontier.markStage(epoch, "frontier")
     }
@@ -420,35 +432,46 @@ object CrawlEpoch {
   /** Re-queue an epoch's FAILED fetches for retry (the reference retries
     * transient HTTP failures up to 100 times, `retry_warc.py:54-57`; at
     * 10^10-URL scale transient failures are the norm, and without this a
-    * URL that 404'd once is lost forever): the failed URLs' keys are
-    * RETRACTED from the seen set ([[SeenSet.retract]] — exact tombstones +
-    * cuckoo sidecar, cleared automatically when the retry epoch re-adds
-    * them) and appended to the frontier as a delta, so the next epoch's
-    * schedule sees them again. IDEMPOTENT per epoch (a stage marker makes a
-    * replay a 0-row no-op), which also bounds retries to at most one
-    * re-queue per (epoch, URL); a caller that re-queues every epoch's
-    * failures accepts unbounded retries of deterministic failures — cap by
-    * policy at the call site, as the reference does with its retry budget
-    * (`retry_warc.py:54-57`). Returns the number of URLs re-queued. */
+    * URL that 404'd once is lost forever): failed URLs still inside their
+    * per-URL retry budget have their keys RETRACTED from the seen set
+    * ([[SeenSet.retract]] — exact tombstones + cuckoo sidecar, cleared
+    * automatically when the retry epoch re-adds them) and are appended to
+    * the frontier as a delta with `retries` incremented, so the next
+    * epoch's schedule sees them again. A URL whose `retries` has reached
+    * `retryBudget` is PERMANENTLY dropped — it stays in the seen set and is
+    * never rescheduled — matching the reference's 100-attempt cap; the drop
+    * count is `observe`d as `requeue_dropped` on the committed delta.
+    * IDEMPOTENT per epoch (a stage marker makes a replay a 0-row no-op).
+    * Returns the number of URLs re-queued. */
   def requeueFailures(
       stateRoot: String,
       spark: SparkSession,
       epoch: Long,
       retryStatuses: Seq[Int] = Seq(404),
-      retryPriority: Double = 1.0): Long = {
+      retryPriority: Double = 1.0,
+      retryBudget: Int = 100): Long = {
     val outTable = new SnapshotTable(s"$stateRoot/out", spark)
     val frontier = frontierTable(stateRoot, spark)
     val seen = new SeenSet(s"$stateRoot/seen", spark)
     if (frontier.stageDone(epoch, "requeue")) return 0L
     val snap = outTable.snapshotForLineage("epoch", epoch.toString)
       .getOrElse(sys.error(s"no out snapshot for epoch $epoch under $stateRoot"))
-    val failed = outTable.readAt(snap)
+    val outSnap = outTable.readAt(snap)
+    val prior = // legacy out snapshots (pre-retries schedules) count as 0
+      if (outSnap.columns.contains("retries")) col("retries") else lit(0)
+    val failed = outSnap
       .filter(col("fetch_status").isin(retryStatuses: _*))
-      .select(col("canon_url").as("url"), col("url_hash")).distinct()
-    seen.retract(failed.select(col("url_hash")),
+      .select(col("canon_url").as("url"), col("url_hash"),
+        prior.as("retries")).distinct()
+      .observe("requeue", count(lit(1)).as("failed"),
+        sum(when(col("retries") >= retryBudget, 1).otherwise(0))
+          .as("requeue_dropped"))
+    val within = failed.filter(col("retries") < retryBudget)
+    seen.retract(within.select(col("url_hash")),
       Map("epoch" -> epoch.toString, "stage" -> "requeue"))
     val fid = frontier.commitDelta(
-      failed.select(col("url"), lit(retryPriority).as("priority")),
+      within.select(col("url"), lit(retryPriority).as("priority"),
+        (col("retries") + 1).as("retries")),
       Map("epoch" -> epoch.toString, "stage" -> "requeue"))
     frontier.markStage(epoch, "requeue")
     frontier.manifest(fid).map(_.get("delta_rows").asLong).getOrElse(0L)

@@ -29,12 +29,18 @@ object Scheduler {
     * canonical URLs (max priority wins; min raw url as stable witness). */
   def normalize(frontier: DataFrame): DataFrame = {
     GraftFunctions.register(frontier.sparkSession)
+    // `retries` (per-URL retry budget, reference retry_warc.py:54-57) rides
+    // along when the frontier carries it; plain (url, priority) frontiers
+    // stay two-column.
+    val aggs = Seq(max(col("priority")).as("priority"), min(col("url")).as("url")) ++
+      (if (frontier.columns.contains("retries"))
+        Seq(max(col("retries")).as("retries")) else Nil)
     frontier
       .withColumn("canon_url", GraftFunctions.canonicalizeUrl(col("url")))
       .withColumn("host", GraftFunctions.urlHost(col("url")))
       .withColumn("url_hash", GraftFunctions.urlHash64(col("url")))
       .groupBy(col("canon_url"), col("host"), col("url_hash"))
-      .agg(max(col("priority")).as("priority"), min(col("url")).as("url"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Broadcast cap for the robots gate, in hosts. "Per-host" is NOT tiny at
@@ -99,8 +105,9 @@ object Scheduler {
     val normalized = normalize(rawFrontier)
     val unseen = seenSet.filterUnseen(normalized)
     val allowed = robots.fold(unseen)(applyRobots(unseen, _, robotsHosts))
-    politenessSelect(allowed, budgetPerHost)
-      .select(col("url"), col("canon_url"), col("host"), col("url_hash"),
-        col("priority"), col("host_rank"))
+    val base = Seq(col("url"), col("canon_url"), col("host"), col("url_hash"),
+      col("priority"), col("host_rank"))
+    val cols = if (normalized.columns.contains("retries")) base :+ col("retries") else base
+    politenessSelect(allowed, budgetPerHost).select(cols: _*)
   }
 }

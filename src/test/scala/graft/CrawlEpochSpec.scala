@@ -203,6 +203,37 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(seenA === seenB)
   }
 
+  test("requeueFailures: per-URL retry budget — N retries then permanent drop") {
+    import spark.implicits._
+    val (pages, images, _, robots) = corpus()
+    // one deterministic always-404 URL (no such page in the 400-page corpus)
+    val deadUrl = "http://site1.example/page/9999"
+    val deadHash = Seq(deadUrl).toDF("url")
+      .select(graft.functions.GraftFunctions.urlHash64(col("url")))
+      .head.getLong(0)
+    val root = Files.createTempDirectory("crawlBudget").toString
+    CrawlEpoch.seed(root, spark, Seq((deadUrl, 9.0)).toDF("url", "priority"))
+    val schedT = new SnapshotTable(s"$root/scheduled", spark)
+    def scheduledIn(epoch: Long): Boolean =
+      schedT.readAt(schedT.snapshotForLineage("epoch", epoch.toString).get)
+        .filter(col("url_hash") === deadHash).count() === 1L
+    var requeued = 0L
+    (1L to 4L).foreach { e =>
+      CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 10, epoch = e)
+      requeued += CrawlEpoch.requeueFailures(root, spark, epoch = e, retryBudget = 2)
+    }
+    // budget 2: initial attempt (epoch 1) + exactly 2 retries (epochs 2, 3),
+    // then the URL is permanently dropped — epoch 4 must not schedule it
+    assert(scheduledIn(1) && scheduledIn(2) && scheduledIn(3), "retries within budget")
+    assert(!scheduledIn(4), "URL past its retry budget must never be rescheduled")
+    assert(requeued === 2L, "exactly retryBudget re-queues for a persistent failure")
+    // dropped URL stays in the seen set (not retracted) and off the frontier
+    val seen = new graft.frontier.SeenSet(s"$root/seen", spark)
+    assert(seen.filterUnseen(Seq(deadHash).toDF("url_hash")).count() === 0L)
+    assert(CrawlEpoch.frontierTable(root, spark).read()
+      .filter(col("url") === deadUrl).count() === 0L)
+  }
+
   test("requeueFailures: failed fetches are retracted from the seen set and rescheduled") {
     val (pages, images, _, robots) = corpus()
     // seeds aimed past the 400-page corpus: targets 400..599 fetch as 404
