@@ -143,7 +143,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${crawlSecs + totalQuerySecs}%.2f,"total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"epochs":$nEpochs,"scheduled":$totalScheduled,"fetched":$totalFetched,"licensed":$totalLicensed,"decode_ok":$totalDecodeOk,"new_frontier":$lastFrontier,"sec":$crawlSecs%.2f,"epoch_sec":$epochSecs,"epoch_scheduled":$epochScheduled,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":${crawlSecs + totalQuerySecs}%.2f,"total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"epochs":$nEpochs,"pipelined":$pipelined,"scheduled":$totalScheduled,"fetched":$totalFetched,"licensed":$totalLicensed,"decode_ok":$totalDecodeOk,"new_frontier":$lastFrontier,"sec":$crawlSecs%.2f,"epoch_sec":$epochSecs,"epoch_scheduled":$epochScheduled,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // best-effort cleanup: tmpfs must not accumulate across rounds
     try {

@@ -271,12 +271,20 @@ object CrawlEpoch {
         // are projected away pre-exchange either way.
         val fetchedIds = licensed.select(col("image_id"))
           .where(col("image_id").isNotNull).distinct()
+        // The sidecar is keyed by the SCHEDULE snapshot id; with no schedule
+        // manifest (shouldn't happen) there is no collision-free key — an
+        // epoch number can collide with a genuine snapshot id already under
+        // imgbloom/ and silently reuse a stale filter (false negatives would
+        // null out decode results) — so that branch skips the prefilter and
+        // relies on the exact semi join alone, mirroring bloomPrefiltered.
         val wantedImages =
           if (schedRows <= broadcastMax)
             images.join(broadcast(fetchedIds), Seq("image_id"), "left_semi")
+          else if (schedSnap.isEmpty) // unhinted: size unknown, let AQE pick
+            images.join(fetchedIds, Seq("image_id"), "left_semi")
           else {
             val imgRoot = s"$stateRoot/imgbloom"
-            val sid = schedSnap.getOrElse(epoch)
+            val sid = schedSnap.get
             if (!SeenSet.shardFilesPresent(imgRoot, sid))
               SeenSet.writeShardFiles(imgRoot, sid, SeenSet.buildShards(
                 fetchedIds.select(xxhash64(col("image_id")).as("url_hash")),

@@ -109,6 +109,54 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The IVF 100-TB path, part 1: write the corpus PARTITIONED BY its IVF
+    * cell. One pass assigns cells and lays the data out so a probe later
+    * reads only nProbe/nCells of the files. */
+  def ivfWriteBucketed(
+      corpus: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nCells: Int): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("cell", ivfCell(col("c_vec"), dim, nCells))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
+
+  /** The IVF 100-TB path, part 2: probe a [[ivfWriteBucketed]] corpus. The
+    * probed cell set is collected (bounded by |queries| × nProbe — the query
+    * side is small by the same contract that lets it broadcast) and pushed
+    * into the scan as a STATIC partition filter, so only the probed cells'
+    * directories are read — the `.explain` shows the pruned PartitionFilters
+    * and the spec asserts via input_file_name that untouched cells cost no
+    * I/O. Result is identical to [[ivfTopK]] on the same parameters. */
+  def ivfTopKBucketed(
+      path: String,
+      queries: DataFrame,
+      vecCol: String,
+      qidCol: String,
+      dim: Int,
+      nCells: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val q = queries.select(col(qidCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell", explode(ivfProbeCells(col("q_vec"), dim, nCells, nProbe)))
+    val probedCells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("q_id"), col("nn_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
     * Hyperplanes are fixed seeded pseudo-random vectors (splitmix64 stream),
     * identical on every executor — no fitted model object to ship. */

@@ -171,6 +171,44 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"recall=$recall") // probing half the cells
   }
 
+  test("ivf bucketed corpus: probe reads ONLY the probed cells' partitions") {
+    import spark.implicits._
+    val vecs = (0 until 400).map { i =>
+      val v = (0 until 16).map(d =>
+        ((TextHashing.splitmix64(i * 61 + d) >>> 11).toDouble / (1L << 53) * 2 - 1).toFloat)
+      (i.toLong, v.toArray)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("ivfbucketed").toString
+    Ann.ivfWriteBucketed(vecs, path, "vec_id", "embedding", dim = 16, nCells = 8)
+    val probed = Ann.ivfTopKBucketed(path, queries, "embedding", "vec_id",
+      dim = 16, nCells = 8, nProbe = 2, k = 3)
+    // the scan touches only files under the probed cells' directories —
+    // the partition-pruned read the 100-TB IVF path claims
+    val expectedCells = queries
+      .select(explode(Ann.ivfProbeCells(col("embedding").cast("array<double>"),
+        16, 8, 2)).as("cell"))
+      .distinct().as[Int].collect().toSet
+    assert(expectedCells.size < 8, "test must probe a strict subset of cells")
+    // (captured at scan time — input_file_name is empty past an exchange)
+    val filesRead = spark.read.parquet(path)
+      .filter(col("cell").isin(expectedCells.toSeq: _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    val cellsRead = filesRead.map(f =>
+      "cell=([0-9]+)".r.findFirstMatchIn(f).get.group(1).toInt).toSet
+    assert(cellsRead.subsetOf(expectedCells), s"read $cellsRead, probed $expectedCells")
+    // and the pruning is static — visible in the plan's partition filters
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), "cell filter must prune at scan")
+    // identical results to the unbucketed ivfTopK on the same parameters
+    val direct = Ann.ivfTopK(vecs, queries, "vec_id", "embedding", "vec_id",
+      dim = 16, nCells = 8, nProbe = 2, k = 3)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bucketed = probed.select("q_id", "nn_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bucketed === direct)
+  }
+
   test("lshTopK agrees with brute force on self-neighbors") {
     import spark.implicits._
     val vecs = (0 until 100).map { i =>
