@@ -134,13 +134,20 @@ final class SeenSet(root: String, spark: SparkSession,
   }
 
   /** Build + write the sharded cuckoo sidecar for tombstone snapshot `tid`.
-    * Fully distributed: one executor task per shard inserts that shard's
-    * keys; only the ShardCount serialized filters (bytes, not rows) come
-    * back to the driver for the atomic sidecar write. */
+    * Large sets (beyond [[SeenSet.cuckooDriverBuildMax]]) build fully
+    * distributed — one executor task per shard, only serialized filters
+    * reach the driver; small sets (the episodic-retraction common case)
+    * skip the job overhead and build on the driver from a BOUNDED collect.
+    * Both paths sort keys within each shard first, so the sidecar bytes are
+    * identical whichever path ran. */
   private def writeCuckoo(tid: Long): Unit = {
     val total = tombTable.manifest(tid).map(_.get("row_count").asLong).getOrElse(0L)
-    val blobs = SeenSet.buildCuckooShards(
-      tombTable.readAt(tid).select(col("url_hash")), total)
+    val keysDf = tombTable.readAt(tid).select(col("url_hash"))
+    val blobs =
+      if (total <= SeenSet.cuckooDriverBuildMax(spark)) {
+        import spark.implicits._
+        SeenSet.buildCuckooShardsLocal(keysDf.as[Long].collect(), total)
+      } else SeenSet.buildCuckooShards(keysDf, total)
     SeenSet.writeCuckooShardFiles(tombRoot, tid, blobs)
   }
 
@@ -162,10 +169,18 @@ final class SeenSet(root: String, spark: SparkSession,
     val nReAdded = reAdded.count()
     if (nReAdded == 0L) return
     val remaining = old.join(newKeys, Seq("url_hash"), "left_anti")
+    val oldCount = tombstoneCount
     val newTid = tombTable.commit(remaining,
       Map("cleared" -> nReAdded.toString))
     if (SeenSet.cuckooShardsPresent(tombRoot, oldTid.get)) {
-      val edited = SeenSet.deleteFromCuckooShards(tombRoot, oldTid.get, reAdded)
+      // small old filter + small deletion set: edit on the driver (bounded
+      // reads); otherwise one executor task per affected shard
+      val edited =
+        if (oldCount <= SeenSet.cuckooDriverBuildMax(spark)) {
+          import spark.implicits._
+          SeenSet.deleteFromCuckooShardsLocal(tombRoot, oldTid.get,
+            reAdded.as[Long].collect())
+        } else SeenSet.deleteFromCuckooShards(tombRoot, oldTid.get, reAdded)
       SeenSet.writeCuckooShardFiles(tombRoot, newTid, edited,
         carryOverFrom = Some(oldTid.get))
     } else writeCuckoo(newTid)
@@ -377,32 +392,57 @@ object SeenSet {
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
+  /** Driver-build cap: tombstone sets at or under this row count build (and
+    * edit) their cuckoo shards on the driver from a bounded collect —
+    * episodic retraction is usually tiny and 3 extra Spark jobs dominate
+    * the work; larger sets (a mostly-failed epoch) run distributed. */
+  private[graft] def cuckooDriverBuildMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.cuckooDriverMax")
+      .orElse(sys.env.get("SPARK_GRAFT_CUCKOO_DRIVER_MAX"))
+      .map(_.toLong).getOrElse(100000L)
+
+  /** One shard's filter from ITS keys. Keys are sorted first so the filter
+    * bits are identical at any parallelism and on either build path
+    * (eviction order is insertion-order dependent). Saturation (dup-heavy
+    * fingerprints) grows the shard and restarts its inserts. */
+  private def buildShardFilter(keys: Array[Long], perShard: Long): Array[Byte] = {
+    java.util.Arrays.sort(keys)
+    var cf = CuckooFilter.forCapacity(math.max(perShard, keys.length.toLong))
+    var i = 0
+    while (i < keys.length) {
+      if (!cf.insert(keys(i))) { cf = new CuckooFilter(cf.nBuckets * 2); i = -1 }
+      i += 1
+    }
+    cf.serialize()
+  }
+
+  private def perShardCapacity(total: Long): Long =
+    math.max(64L, 2L * total / ShardCount)
+
   /** Build all [[ShardCount]] cuckoo shards over `keys` (column `url_hash`)
-    * on EXECUTORS: one task per shard; keys are sorted within the shard so
-    * the filter bits are identical at any parallelism (eviction order is
-    * insertion-order dependent); only serialized filters travel to the
-    * driver. Saturation (dup-heavy fingerprints) grows the shard and
-    * restarts its inserts, as the driver-side build did. */
+    * on EXECUTORS: one task per shard; only serialized filters travel to
+    * the driver. */
   private[graft] def buildCuckooShards(keysDf: DataFrame, total: Long): Array[Array[Byte]] = {
     import keysDf.sparkSession.implicits._
-    val perShard = math.max(64L, 2L * total / ShardCount)
+    val perShard = perShardCapacity(total)
     val parts = keysDf.select(col("url_hash")).as[Long].rdd
       .map(h => (shardOf(h), h))
       .partitionBy(new ShardPartitioner)
       .mapPartitionsWithIndex { (shard, it) =>
-        val keys = it.map(_._2).toArray
-        java.util.Arrays.sort(keys)
-        var cf = CuckooFilter.forCapacity(math.max(perShard, keys.length.toLong))
-        var i = 0
-        while (i < keys.length) {
-          if (!cf.insert(keys(i))) { cf = new CuckooFilter(cf.nBuckets * 2); i = -1 }
-          i += 1
-        }
-        Iterator((shard, cf.serialize()))
+        Iterator((shard, buildShardFilter(it.map(_._2).toArray, perShard)))
       }.collect()
     val out = new Array[Array[Byte]](ShardCount)
     parts.foreach { case (s, b) => out(s) = b }
     out
+  }
+
+  /** Driver-side twin of [[buildCuckooShards]] for bounded key sets —
+    * byte-identical output (same per-shard sorted insert order). */
+  private[graft] def buildCuckooShardsLocal(keys: Array[Long], total: Long): Array[Array[Byte]] = {
+    val perShard = perShardCapacity(total)
+    val byShard = Array.fill(ShardCount)(new scala.collection.mutable.ArrayBuilder.ofLong)
+    keys.foreach(h => byShard(shardOf(h)) += h)
+    byShard.map(b => buildShardFilter(b.result(), perShard))
   }
 
   /** Per-shard in-place DELETION of `delKeys` from snapshot `oldId`'s
@@ -410,6 +450,15 @@ object SeenSet {
     * by its own executor task (shared-store sidecar files, same access
     * pattern as the probe side); shards without deletions return null and
     * are carried over by the writer. */
+  private def deleteFromShardFile(root: String, oldId: Long, shard: Int,
+      keys: Array[Long]): Array[Byte] = {
+    java.util.Arrays.sort(keys)
+    val cf = CuckooFilter.deserialize(
+      Files.readAllBytes(cuckooShardPath(root, oldId, shard)))
+    keys.foreach(cf.delete)
+    cf.serialize()
+  }
+
   private[graft] def deleteFromCuckooShards(root: String, oldId: Long,
       delKeys: DataFrame): Array[Array[Byte]] = {
     import delKeys.sparkSession.implicits._
@@ -419,17 +468,24 @@ object SeenSet {
       .mapPartitionsWithIndex { (shard, it) =>
         val keys = it.map(_._2).toArray
         if (keys.isEmpty) Iterator.empty
-        else {
-          java.util.Arrays.sort(keys)
-          val cf = CuckooFilter.deserialize(
-            Files.readAllBytes(cuckooShardPath(root, oldId, shard)))
-          keys.foreach(cf.delete)
-          Iterator((shard, cf.serialize()))
-        }
+        else Iterator((shard, deleteFromShardFile(root, oldId, shard, keys)))
       }.collect()
     val out = new Array[Array[Byte]](ShardCount)
     parts.foreach { case (s, b) => out(s) = b }
     out
+  }
+
+  /** Driver-side twin of [[deleteFromCuckooShards]] for bounded deletion
+    * sets against a bounded old filter — byte-identical output. */
+  private[graft] def deleteFromCuckooShardsLocal(root: String, oldId: Long,
+      delKeys: Array[Long]): Array[Array[Byte]] = {
+    val byShard = Array.fill(ShardCount)(new scala.collection.mutable.ArrayBuilder.ofLong)
+    delKeys.foreach(h => byShard(shardOf(h)) += h)
+    byShard.zipWithIndex.map { case (b, shard) =>
+      val keys = b.result()
+      if (keys.isEmpty) null
+      else deleteFromShardFile(root, oldId, shard, keys)
+    }
   }
 
   /** Atomically write cuckoo shard sidecars for snapshot `id`. A null entry

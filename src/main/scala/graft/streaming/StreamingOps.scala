@@ -24,7 +24,10 @@ object StreamingOps {
   /** Per-host lifetime cap enforced statefully across micro-batches: each
     * host emits at most `budgetPerHost` rows over the stream's lifetime,
     * highest priority first within each batch (deterministic tiebreak on
-    * url). State is just one counter per host — O(hosts) not O(urls). */
+    * url). State is just one counter per host — O(hosts) not O(urls) — and
+    * per-batch memory is a BOUNDED heap of the remaining budget, not the
+    * host's whole group: a hot host with 10^8 frontier rows in one
+    * micro-batch costs O(budget) memory, never O(group). */
   def politenessStream(frontier: Dataset[FrontierRow], budgetPerHost: Long): Dataset[ScheduledRow] = {
     import frontier.sparkSession.implicits._
     frontier
@@ -33,10 +36,20 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (host, rows, state: GroupState[HostBudgetState]) =>
           val emitted = state.getOption.map(_.emitted).getOrElse(0L)
-          val take = math.max(0L, budgetPerHost - emitted)
-          val chosen = rows.toSeq
-            .sortBy(r => (-r.priority, r.url))
-            .take(take.toInt)
+          val take = math.max(0L, budgetPerHost - emitted).toInt
+          // rank key: smaller = better (priority desc, url asc). The max-heap
+          // root is then the worst kept row — the eviction victim.
+          val byRank = Ordering.by[FrontierRow, (Double, String)](
+            r => (-r.priority, r.url))
+          val heap = new scala.collection.mutable.PriorityQueue[FrontierRow]()(byRank)
+          rows.foreach { r =>
+            if (take > 0) {
+              if (heap.size < take) heap.enqueue(r)
+              else if (byRank.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+            }
+          }
+          val kept: Seq[FrontierRow] = heap.dequeueAll
+          val chosen = kept.reverse // best-first emission order
             .zipWithIndex
             .map { case (r, i) => ScheduledRow(r.url, host, r.priority, emitted + i + 1) }
           state.update(HostBudgetState(emitted + chosen.size))

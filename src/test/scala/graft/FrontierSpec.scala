@@ -272,6 +272,16 @@ class FrontierSpec extends SparkSpecBase {
     assert(seen.liveKeys().count() === 700000L)
   }
 
+  test("cuckoo shard builds: driver and executor paths produce identical bytes") {
+    import spark.implicits._
+    val keys = (0L until 50000L).map(graft.functions.TextHashing.splitmix64).toArray
+    val local = SeenSet.buildCuckooShardsLocal(keys.clone(), keys.length.toLong)
+    val dist = SeenSet.buildCuckooShards(keys.toSeq.toDF("url_hash"), keys.length.toLong)
+    (0 until SeenSet.ShardCount).foreach { s =>
+      assert(java.util.Arrays.equals(local(s), dist(s)), s"shard $s bytes differ")
+    }
+  }
+
   test("cuckoo probe: executor cache keeps at most two generations per shard") {
     import spark.implicits._
     val root = tmpDir("seengen")
