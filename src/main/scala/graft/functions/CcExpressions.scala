@@ -3,9 +3,9 @@ package graft.functions
 import graft.html.LicenseFinder
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -40,16 +40,14 @@ object ExtractCcLicenses {
     StructField("parse_error", BooleanType, nullable = false)))
 }
 
-case class ExtractCcLicenses(child: Expression, contextNumChars: Int = 150)
-    extends UnaryExpression with CodegenFallback {
+/** Static call targets for generated code (see [[ExprKernels]]): each hot
+  * HTML/license kernel is a direct static call inside whole-stage codegen —
+  * no CodegenFallback row-boxing detour on the fetch/annotate hot path. */
+object CcKernels {
 
-  override def dataType: DataType = ExtractCcLicenses.outputType
-  override def prettyName: String = "extract_cc_licenses"
-
-  override def nullSafeEval(input: Any): Any = {
-    val html = input.asInstanceOf[UTF8String].toString
+  def extractCcLicenses(html: UTF8String, contextNumChars: Int): InternalRow =
     try {
-      val licenses = LicenseFinder.findCcLicensesInHtml(html, contextNumChars)
+      val licenses = LicenseFinder.findCcLicensesInHtml(html.toString, contextNumChars)
       val rows = licenses.map { l =>
         InternalRow(
           UTF8String.fromString(l.abbr),
@@ -66,40 +64,16 @@ case class ExtractCcLicenses(child: Expression, contextNumChars: Int = 150)
       // license_parse_error=true path (`license_annotator.py:49-50`)
       case NonFatal(_) => InternalRow(null, true)
     }
-  }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** `parse_cc_license_url` as a scalar expression → struct(abbr, version). */
-case class ParseCcLicenseUrl(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = StructType(Seq(
-    StructField("abbr", StringType, nullable = true),
-    StructField("version", StringType, nullable = true)))
-  override def prettyName: String = "parse_cc_license_url"
-
-  override def nullSafeEval(input: Any): Any = {
-    val (abbr, version) = LicenseFinder.parseCcLicenseUrl(input.toString)
+  def parseCcLicenseUrl(url: UTF8String): InternalRow = {
+    val (abbr, version) = LicenseFinder.parseCcLicenseUrl(url.toString)
     InternalRow(
       abbr.map(UTF8String.fromString).orNull,
       version.map(UTF8String.fromString).orNull)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Extract outgoing `<a href>` links (absolute http/https only) in document
-  * order — feeds the next epoch's frontier. */
-case class ExtractLinks(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "extract_links"
-  override def nullSafeEval(input: Any): Any = {
-    val root = graft.html.HtmlParser.parse(input.toString)
+  def extractLinks(html: UTF8String): ArrayData = {
+    val root = graft.html.HtmlParser.parse(html.toString)
     val links = graft.html.Dom.elementsInOrder(root).iterator
       .filter(_.name == "a")
       .flatMap(_.attr("href"))
@@ -108,18 +82,71 @@ case class ExtractLinks(child: Expression)
       .toArray[Any]
     new GenericArrayData(links)
   }
+
+  def normalizeNfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+}
+
+case class ExtractCcLicenses(child: Expression, contextNumChars: Int = 150)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ExtractCcLicenses.outputType
+  override def prettyName: String = "extract_cc_licenses"
+
+  override def nullSafeEval(input: Any): Any =
+    CcKernels.extractCcLicenses(input.asInstanceOf[UTF8String], contextNumChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CcKernels.extractCcLicenses($c, $contextNumChars)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `parse_cc_license_url` as a scalar expression → struct(abbr, version). */
+case class ParseCcLicenseUrl(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("abbr", StringType, nullable = true),
+    StructField("version", StringType, nullable = true)))
+  override def prettyName: String = "parse_cc_license_url"
+
+  override def nullSafeEval(input: Any): Any =
+    CcKernels.parseCcLicenseUrl(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CcKernels.parseCcLicenseUrl($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Extract outgoing `<a href>` links (absolute http/https only) in document
+  * order — feeds the next epoch's frontier. */
+case class ExtractLinks(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "extract_links"
+  override def nullSafeEval(input: Any): Any =
+    CcKernels.extractLinks(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CcKernels.extractLinks($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** Unicode NFC normalization (the composing half of the FTFY analog, P4). */
 case class NormalizeNfc(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "normalize_nfc"
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(java.text.Normalizer.normalize(
-      input.toString, java.text.Normalizer.Form.NFC))
+    CcKernels.normalizeNfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CcKernels.normalizeNfc($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -128,19 +155,16 @@ case class NormalizeNfc(child: Expression)
   * skips script/style/head/title/meta/link/noscript/template subtrees and
   * comments, emits whitespace-normalized text with newlines at block-element
   * boundaries. */
-case class ExtractVisibleText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = StringType
-  override def prettyName: String = "extract_visible_text"
+object ExtractVisibleText {
+  private[functions] val blockTags = Set("p", "div", "h1", "h2", "h3", "h4",
+    "h5", "h6", "li", "tr", "br", "figcaption", "section", "article", "header",
+    "footer", "blockquote", "pre", "nav", "table", "ul", "ol", "figure")
+  private[functions] val skipTags = Set("script", "style", "head", "title",
+    "meta", "link", "noscript", "template")
 
-  private val blockTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
-    "li", "tr", "br", "figcaption", "section", "article", "header", "footer",
-    "blockquote", "pre", "nav", "table", "ul", "ol", "figure")
-  private val skipTags = Set("script", "style", "head", "title", "meta",
-    "link", "noscript", "template")
-
-  override def nullSafeEval(input: Any): Any = {
-    val root = graft.html.HtmlParser.parse(input.toString)
+  /** Static kernel for generated code. */
+  def eval(html: UTF8String): UTF8String = {
+    val root = graft.html.HtmlParser.parse(html.toString)
     val sb = new StringBuilder
     def walk(e: graft.html.HElem): Unit = e.children.foreach {
       case t: graft.html.HText if !t.isComment => sb.append(t.text)
@@ -157,17 +181,29 @@ case class ExtractVisibleText(child: Expression)
       .filter(_.nonEmpty)
     UTF8String.fromString(lines.mkString("\n"))
   }
+}
+
+case class ExtractVisibleText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "extract_visible_text"
+  override def nullSafeEval(input: Any): Any =
+    ExtractVisibleText.eval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExtractVisibleText.eval($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** Percent-decode (Python `urllib.parse.unquote` semantics — no '+' → space). */
 case class UrlDecode(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "url_decode_py"
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(LicenseFinder.percentDecode(input.toString))
+    ExprKernels.urlDecode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.urlDecode($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -59,6 +59,14 @@ object ExprKernels {
   def simhash64(t: UTF8String): Long =
     TextHashing.simhash64(t.toString)
 
+  def minhashSig(t: UTF8String, numHashes: Int, shingleSize: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHashing.minhashSig(t.toString, numHashes, shingleSize))
+
+  def winnowFingerprint(t: UTF8String, k: Int, window: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHashing.winnowFingerprint(t.toString, k, window))
+
   def vecDot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0

@@ -3,10 +3,26 @@ package graft.functions
 import graft.image.ImageCodec
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Static call targets for generated code (decode runs on the crawl's
+  * per-image hot path — a direct static call keeps it inside whole-stage
+  * codegen with no CodegenFallback row-boxing). */
+object ImageKernels {
+
+  def genImage(seed: Long, w: Int, h: Int, fmt: UTF8String): Array[Byte] =
+    ImageCodec.generate(seed, w, h, fmt.toString)
+
+  /** Fused decode+phash+psnr; null ⇔ undecodable bytes. */
+  def imageCheck(bytes: Array[Byte], seed: Long, w: Int, h: Int): InternalRow =
+    ImageCodec.check(bytes, seed, w, h) match {
+      case Some((dw, dh, ph, ps)) => InternalRow(dw, dh, ph, ps)
+      case None => null
+    }
+}
 
 /** Multimodal (image) column expressions: synthesis, decode, perceptual
   * hashing. Images are opaque `binary` columns with typed metadata — the
@@ -16,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic image synthesis: (seed, w, h, fmt) → encoded bytes. */
 case class GenImage(seed: Expression, w: Expression, h: Expression, fmt: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def first: Expression = seed
   override def second: Expression = w
   override def third: Expression = h
@@ -24,8 +40,11 @@ case class GenImage(seed: Expression, w: Expression, h: Expression, fmt: Express
   override def dataType: DataType = BinaryType
   override def prettyName: String = "gen_image"
   override def nullSafeEval(s: Any, wv: Any, hv: Any, f: Any): Any =
-    ImageCodec.generate(s.asInstanceOf[Long], wv.asInstanceOf[Int],
-      hv.asInstanceOf[Int], f.toString)
+    ImageKernels.genImage(s.asInstanceOf[Long], wv.asInstanceOf[Int],
+      hv.asInstanceOf[Int], f.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, w, h, f) =>
+      s"graft.functions.ImageKernels.genImage($s, $w, $h, $f)")
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression, d: Expression): Expression =
     copy(seed = a, w = b, h = c, fmt = d)
@@ -84,7 +103,7 @@ case class PsnrVsPattern(bytes: Expression, seed: Expression, w: Expression, h: 
   * struct(decoded_w, decoded_h, phash, psnr) — the fused kernel for the crawl
   * epoch's per-row invariant so each blob is decoded exactly once. */
 case class ImageCheck(bytes: Expression, seed: Expression, w: Expression, h: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def first: Expression = bytes
   override def second: Expression = seed
   override def third: Expression = w
@@ -94,13 +113,15 @@ case class ImageCheck(bytes: Expression, seed: Expression, w: Expression, h: Exp
     StructField("decoded_h", IntegerType),
     StructField("phash", LongType),
     StructField("psnr", DoubleType)))
+  override def nullable: Boolean = true // null ⇔ undecodable bytes
   override def prettyName: String = "image_check"
   override def nullSafeEval(b: Any, s: Any, wv: Any, hv: Any): Any =
-    ImageCodec.check(b.asInstanceOf[Array[Byte]], s.asInstanceOf[Long],
-      wv.asInstanceOf[Int], hv.asInstanceOf[Int]) match {
-      case Some((dw, dh, ph, ps)) => InternalRow(dw, dh, ph, ps)
-      case None => null
-    }
+    ImageKernels.imageCheck(b.asInstanceOf[Array[Byte]], s.asInstanceOf[Long],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s, w, h) => s"""
+      ${ev.value} = graft.functions.ImageKernels.imageCheck($b, $s, $w, $h);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression, d: Expression): Expression =
     copy(bytes = a, seed = b, w = c, h = d)

@@ -145,11 +145,17 @@ case class ShingleSet(child: Expression, nExpr: Expression) extends BinaryExpres
 }
 
 case class MinHashSig(child: Expression, numHashes: Int = 64, shingleSize: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHashing.minhashSig(input.toString, numHashes, shingleSize))
+    ExprKernels.minhashSig(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      numHashes, shingleSize)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprKernels.minhashSig($c, $numHashes, $shingleSize)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -168,11 +174,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 case class WinnowFingerprint(child: Expression, k: Int = 5, window: Int = 4)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprint"
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHashing.winnowFingerprint(input.toString, k, window))
+    ExprKernels.winnowFingerprint(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, window)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprKernels.winnowFingerprint($c, $k, $window)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
