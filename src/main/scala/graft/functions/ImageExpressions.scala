@@ -22,6 +22,24 @@ object ImageKernels {
       case Some((dw, dh, ph, ps)) => InternalRow(dw, dh, ph, ps)
       case None => null
     }
+
+  def decodeDims(bytes: Array[Byte]): InternalRow = {
+    val img = ImageCodec.decode(bytes)
+    if (img == null) null else InternalRow(img.getWidth, img.getHeight)
+  }
+
+  def phash64(bytes: Array[Byte]): java.lang.Long = {
+    val img = ImageCodec.decode(bytes)
+    if (img == null) null else java.lang.Long.valueOf(ImageCodec.phash64(img))
+  }
+
+  def psnrVsPattern(bytes: Array[Byte], seed: Long, w: Int, h: Int): java.lang.Double = {
+    val img = ImageCodec.decode(bytes)
+    if (img == null) return null
+    val ref = ImageCodec.pattern(seed, w, h)
+    val p = ImageCodec.psnr(ref, img)
+    java.lang.Double.valueOf(if (p.isInfinity) 999.0 else p)
+  }
 }
 
 /** Multimodal (image) column expressions: synthesis, decode, perceptual
@@ -52,27 +70,34 @@ case class GenImage(seed: Expression, w: Expression, h: Expression, fmt: Express
 
 /** Decode image bytes → struct(w, h) (null on undecodable input). */
 case class DecodeImageDims(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("w", IntegerType), StructField("h", IntegerType)))
+  override def nullable: Boolean = true // null <=> undecodable bytes
   override def prettyName: String = "decode_image_dims"
-  override def nullSafeEval(input: Any): Any = {
-    val img = ImageCodec.decode(input.asInstanceOf[Array[Byte]])
-    if (img == null) null else InternalRow(img.getWidth, img.getHeight)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ImageKernels.decodeDims(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.functions.ImageKernels.decodeDims($b);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** Perceptual hash of encoded image bytes. */
 case class PHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null <=> undecodable bytes
   override def prettyName: String = "phash64"
-  override def nullSafeEval(input: Any): Any = {
-    val img = ImageCodec.decode(input.asInstanceOf[Array[Byte]])
-    if (img == null) null else java.lang.Long.valueOf(ImageCodec.phash64(img))
-  }
+  override def nullSafeEval(input: Any): Any =
+    ImageKernels.phash64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      java.lang.Long ph_${ev.value} = graft.functions.ImageKernels.phash64($b);
+      ${ev.isNull} = ph_${ev.value} == null;
+      if (!${ev.isNull}) ${ev.value} = ph_${ev.value}.longValue();""")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -80,20 +105,22 @@ case class PHash64(child: Expression)
 /** PSNR (dB) of image bytes against the regenerated seeded pattern; the
   * per-row decode invariant (∞ → encoded as 999.0 for a stable column). */
 case class PsnrVsPattern(bytes: Expression, seed: Expression, w: Expression, h: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def first: Expression = bytes
   override def second: Expression = seed
   override def third: Expression = w
   override def fourth: Expression = h
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null <=> undecodable bytes
   override def prettyName: String = "psnr_vs_pattern"
-  override def nullSafeEval(b: Any, s: Any, wv: Any, hv: Any): Any = {
-    val img = ImageCodec.decode(b.asInstanceOf[Array[Byte]])
-    if (img == null) return null
-    val ref = ImageCodec.pattern(s.asInstanceOf[Long], wv.asInstanceOf[Int], hv.asInstanceOf[Int])
-    val p = ImageCodec.psnr(ref, img)
-    java.lang.Double.valueOf(if (p.isInfinity) 999.0 else p)
-  }
+  override def nullSafeEval(b: Any, s: Any, wv: Any, hv: Any): Any =
+    ImageKernels.psnrVsPattern(b.asInstanceOf[Array[Byte]], s.asInstanceOf[Long],
+      wv.asInstanceOf[Int], hv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s, w, h) => s"""
+      java.lang.Double ps_${ev.value} = graft.functions.ImageKernels.psnrVsPattern($b, $s, $w, $h);
+      ${ev.isNull} = ps_${ev.value} == null;
+      if (!${ev.isNull}) ${ev.value} = ps_${ev.value}.doubleValue();""")
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression, d: Expression): Expression =
     copy(bytes = a, seed = b, w = c, h = d)
