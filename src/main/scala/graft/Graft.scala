@@ -14,8 +14,15 @@ import org.apache.spark.sql.SparkSession
   *   CrawlEpoch.seed(root, spark, seeds)
   *   val m = CrawlEpoch.run(root, spark, pages, images, Some(robots),
   *     budgetPerHost = 100, epoch = 1)           // or start/finish to pipeline
-  *   CrawlEpoch.requeueFailures(root, spark, epoch = 1) // retry failed fetches
+  *   CrawlEpoch.requeueFailures(root, spark, epoch = 1,
+  *     retryBudget = 100)                        // per-URL cap, then permanent drop
   *   CrawlEpoch.expireState(root, spark, keepLast = 2)  // storage maintenance
+  *
+  *   // ANN at corpus scale: bucket once, probe with partition pruning:
+  *   import graft.ops.Ann
+  *   Ann.ivfWriteBucketed(corpus, path, "id", "embedding", dim = 128, nCells = 256)
+  *   val nn = Ann.ivfTopKBucketed(path, queries, "embedding", "id",
+  *     dim = 128, nCells = 256, nProbe = 8, k = 10)
   * }}}
   *
   * On a cluster, build your own session and just call `Graft.init`.
