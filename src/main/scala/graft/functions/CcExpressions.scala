@@ -45,7 +45,37 @@ object ExtractCcLicenses {
   * no CodegenFallback row-boxing detour on the fetch/annotate hot path. */
 object CcKernels {
 
-  def extractCcLicenses(html: UTF8String, contextNumChars: Int): InternalRow =
+  private val GateNeedle: Array[Byte] =
+    "creativecommons.org".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Byte-level cheap gate (`license_annotator.py:184-187`) evaluated on
+    * the raw UTF8String BEFORE the UTF8→java.lang.String copy: ~96% of
+    * pages carry no CC marker and skip both the copy and the tokenizer.
+    * ASCII-only case folding — the needle is pure ASCII and no ASCII byte
+    * occurs inside a UTF-8 multibyte sequence, so this matches Python's
+    * `'creativecommons.org' in html.lower()` on the gate's domain. */
+  def containsCcGate(s: UTF8String): Boolean = {
+    val m = GateNeedle.length
+    val max = s.numBytes - m
+    var i = 0
+    while (i <= max) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        var b = s.getByte(i + j)
+        if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+        if (b != GateNeedle(j)) ok = false
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  def extractCcLicenses(html: UTF8String, contextNumChars: Int): InternalRow = {
+    if (!containsCcGate(html)) // no CC marker: empty licenses, no parse error
+      return InternalRow(new GenericArrayData(Array.empty[Any]), false)
     try {
       val licenses = LicenseFinder.findCcLicensesInHtml(html.toString, contextNumChars)
       val rows = licenses.map { l =>
@@ -64,6 +94,7 @@ object CcKernels {
       // license_parse_error=true path (`license_annotator.py:49-50`)
       case NonFatal(_) => InternalRow(null, true)
     }
+  }
 
   def parseCcLicenseUrl(url: UTF8String): InternalRow = {
     val (abbr, version) = LicenseFinder.parseCcLicenseUrl(url.toString)
