@@ -37,6 +37,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("politeness stream hot host: bounded heap picks the exact global top-N in rank order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FrontierRow]
+    val scheduled = StreamingOps.politenessStream(input.toDS(), budgetPerHost = 7)
+    val q = scheduled.writeStream
+      .format("memory").queryName("sched_hot")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // one hot host, 5000 rows in a single micro-batch, adversarial order
+      // (descending-ish with duplicate priorities to exercise the url tiebreak)
+      val rows = (0 until 5000).map(i =>
+        FrontierRow(f"http://hot/p$i%05d", "hot", (i % 100).toDouble))
+      input.addData(scala.util.Random.shuffle(rows): _*)
+      q.processAllAvailable()
+      val got = spark.table("sched_hot").as[ScheduledRow].collect()
+        .sortBy(_.hostSlot)
+      val expected = rows.sortBy(r => (-r.priority, r.url)).take(7)
+      assert(got.map(_.url).toSeq === expected.map(_.url).toSeq,
+        "heap selection must equal sort-take in rank order")
+      assert(got.map(_.hostSlot).toSeq === (1L to 7L))
+    } finally q.stop()
+  }
+
   test("frontier file stream drains committed snapshots with AvailableNow") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("fstream").toString
