@@ -44,12 +44,15 @@ object ExplainAudit {
       // schedule itself is byte-identical to the broadcast path (spec'd in
       // FrontierSpec "robots gate").
       println("\n================ crawl: schedule (robots hash-join fallback) ================")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      Scheduler.scheduleEpoch(frontier, seen, Some(graft.gen.SyntheticCorpus.robots(spark)),
-        budgetPerHost = 5, robotsHosts = Long.MaxValue).explain("formatted")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        Scheduler.scheduleEpoch(frontier, seen, Some(graft.gen.SyntheticCorpus.robots(spark)),
+          budgetPerHost = 5, robotsHosts = Long.MaxValue).explain("formatted")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
       println("\n================ crawl: fetch join (broadcast schedule) ================")
       val pages = graft.gen.SyntheticCorpus.pages(spark, 5000)
         .withColumnsRenamed(Map("url" -> "page_url"))

@@ -6,6 +6,8 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Crawl-stage operators under the DuckDB oracle: URL canonicalization +
   * frontier scheduling (dedupe → robots → politeness window) and the image
   * decode/round-trip invariant. Inputs are derived from `documents.doc_id`
@@ -16,6 +18,32 @@ object CrawlQueries {
   import Queries.t
 
   private val NHosts = 40
+
+  /** Fingerprint of the source table backing a memoized fixture: file
+    * names + sizes + mtimes of `documents.parquet`. Marker files store it
+    * so regenerated test data at the SAME path invalidates the memo —
+    * an existence-only marker would silently reuse state built from the
+    * old data and fail the oracle compare. */
+  private def sourceFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(p)) return "absent"
+    val entries =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.toSeq.sortBy(_.toString) finally s.close()
+      } else Seq(p)
+    entries.map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+      java.nio.file.Files.getLastModifiedTime(f).toMillis).mkString("|")
+  }
+
+  /** Memo guard: true iff `marker` exists AND records the current source
+    * fingerprint. Callers rebuild and [[writeMarker]] otherwise. */
+  private def markerCurrent(marker: java.nio.file.Path, dir: String): Boolean =
+    java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker)) == sourceFingerprint(dir)
+
+  private def writeMarker(marker: java.nio.file.Path, dir: String): Unit =
+    java.nio.file.Files.write(marker, sourceFingerprint(dir).getBytes)
 
   // --- frontier scheduling ----------------------------------------------------
 
@@ -79,13 +107,19 @@ object CrawlQueries {
       System.getProperty("java.io.tmpdir"),
       s"graft-qsr-${Integer.toHexString(dir.hashCode)}")
     val marker = root.resolve("_state_ok")
-    if (!java.nio.file.Files.exists(marker)) {
+    if (!markerCurrent(marker, dir)) {
+      if (java.nio.file.Files.exists(root)) { // stale state: rebuild from scratch
+        val w = java.nio.file.Files.walk(root)
+        val paths = try w.iterator().asScala.toSeq finally w.close()
+        paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      java.nio.file.Files.createDirectories(root)
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val seen = new SeenSet(root.toString, s)
       seen.add(docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("url_hash")))
       seen.retract(docs.filter(col("doc_id") % 21 === 0).select(col("doc_id").as("url_hash")))
       seen.add(docs.filter(col("doc_id") % 42 === 0).select(col("doc_id").as("url_hash")))
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      writeMarker(marker, dir)
     }
     root.toString
   }
@@ -218,7 +252,7 @@ object CrawlQueries {
       System.getProperty("java.io.tmpdir"),
       s"graft-warc-${Integer.toHexString(dir.hashCode)}")
     val marker = warcDir.resolve("_fixtures_ok")
-    if (!java.nio.file.Files.exists(marker)) {
+    if (!markerCurrent(marker, dir)) {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       java.nio.file.Files.createDirectories(warcDir)
@@ -235,7 +269,7 @@ object CrawlQueries {
         java.nio.file.Files.write(warcDir.resolve(s"shard$shard.warc.gz"),
           WarcSource.warcGzBytes(recs.toIndexedSeq))
       }
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      writeMarker(marker, dir)
     }
     warcDir.toString
   }

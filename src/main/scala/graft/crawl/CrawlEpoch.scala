@@ -185,9 +185,8 @@ object CrawlEpoch {
     val schedSnap = schedTable.snapshotForLineage("epoch", epoch.toString)
     val schedRows = schedSnap.flatMap(schedTable.manifest)
       .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
-    val broadcastMax = spark.conf.getOption("graft.bcastSchedMax")
-      .orElse(sys.env.get("SPARK_GRAFT_BCAST_SCHED_MAX"))
-      .map(_.toLong).getOrElse(4000000L)
+    val broadcastMax = graft.core.GraftConf.longKnob(spark,
+      "graft.bcastSchedMax", "SPARK_GRAFT_BCAST_SCHED_MAX", 4000000L)
     // Schedule-keyed Bloom sidecar for schedules too large to broadcast (the
     // NORMAL case at a 10^10-URL frontier): written next to the schedule
     // snapshot (GC'd by expireSnapshots), probed by the codegen'd
@@ -350,8 +349,12 @@ object CrawlEpoch {
       val links = links0.withColumn("priority", lit(linkPriorityDecay))
         .withColumn("retries", lit(0)) // discovered URLs start a fresh budget
       val backlog0 = frontier.read() // URLs not scheduled this epoch stay queued
-      val backlog = // legacy pre-retries frontiers read as retries = 0
-        if (backlog0.columns.contains("retries")) backlog0
+      val backlog = // legacy pre-retries frontiers read as retries = 0; a
+        // MIXED delta chain (legacy parent dirs + new deltas) reads legacy
+        // rows as NULL, which must also mean 0 — an unguarded null would
+        // null max(retries) and silently drop the URL at the budget filter
+        if (backlog0.columns.contains("retries"))
+          backlog0.withColumn("retries", coalesce(col("retries"), lit(0)))
         else backlog0.withColumn("retries", lit(0))
       // The frontier SHEDS: (a) everything scheduled this epoch, (b) links to
       // already-crawled pages — without this the table grows monotonically
@@ -465,8 +468,12 @@ object CrawlEpoch {
     val snap = outTable.snapshotForLineage("epoch", epoch.toString)
       .getOrElse(sys.error(s"no out snapshot for epoch $epoch under $stateRoot"))
     val outSnap = outTable.readAt(snap)
-    val prior = // legacy out snapshots (pre-retries schedules) count as 0
-      if (outSnap.columns.contains("retries")) col("retries") else lit(0)
+    val prior = // legacy out snapshots (pre-retries schedules) count as 0;
+      // coalesce also covers null retries from mixed-schema delta chains —
+      // a null here would fail BOTH the < budget filter (not retried) and
+      // the >= budget drop counter (not counted): silent URL loss
+      if (outSnap.columns.contains("retries"))
+        coalesce(col("retries"), lit(0)) else lit(0)
     val failed = outSnap
       .filter(col("fetch_status").isin(retryStatuses: _*))
       .select(col("canon_url").as("url"), col("url_hash"),

@@ -35,12 +35,15 @@ object BloomProbe {
       case None =>
         val bf = BloomFilter.readFrom(new ByteArrayInputStream(
           Files.readAllBytes(Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin"))))
-        // benign race: concurrent loaders each publish a list containing
-        // their own entry; last write wins and the loser's filter is re-read
-        // at most once more
-        val prev = if (cur == null) Nil else cur.filterNot(_._1 == id)
-        cache.put(key, ((id, bf) :: prev).take(2))
-        bf
+        // atomic merge: two tasks missing on DIFFERENT generations at once
+        // (exactly the pipelined case the two slots exist for) must not
+        // clobber each other's entry — a plain put would evict the other
+        // loader's generation and thrash re-deserialization per row batch
+        val merged = cache.compute(key, (_, prev0) => {
+          val prev = if (prev0 == null) Nil else prev0.filterNot(_._1 == id)
+          ((id, bf) :: prev).take(2)
+        })
+        merged.find(_._1 == id).map(_._2).getOrElse(bf)
     }
   }
 
@@ -131,9 +134,12 @@ object CuckooProbe {
       case None =>
         val cf = CuckooFilter.deserialize(Files.readAllBytes(
           SeenSet.cuckooShardPath(root, id, shard)))
-        val prev = if (cur == null) Nil else cur.filterNot(_._1 == id)
-        cache.put(key, ((id, cf) :: prev).take(2))
-        cf
+        // atomic merge — see BloomProbe.filterFor
+        val merged = cache.compute(key, (_, prev0) => {
+          val prev = if (prev0 == null) Nil else prev0.filterNot(_._1 == id)
+          ((id, cf) :: prev).take(2)
+        })
+        merged.find(_._1 == id).map(_._2).getOrElse(cf)
     }
   }
 

@@ -48,9 +48,8 @@ object Scheduler {
     * robots cache stores every host's verdict including negative entries —
     * a forced broadcast there is a multi-GB driver/executor OOM. */
   def robotsBroadcastMax(spark: SparkSession): Long =
-    spark.conf.getOption("graft.bcastRobotsMax")
-      .orElse(sys.env.get("SPARK_GRAFT_BCAST_ROBOTS_MAX"))
-      .map(_.toLong).getOrElse(4000000L)
+    graft.core.GraftConf.longKnob(spark,
+      "graft.bcastRobotsMax", "SPARK_GRAFT_BCAST_ROBOTS_MAX", 4000000L)
 
   /** robots gate: drop rows whose canonical path starts with any disallowed
     * prefix for the host. `robots` = (host, disallowed array<string>).

@@ -164,26 +164,31 @@ final class SeenSet(root: String, spark: SparkSession,
     // the `remaining` commit, and an unpinned read() would re-resolve to the
     // new snapshot and delete nothing.
     val old = tombTable.readAt(oldTid.get)
+    // persist: this frame feeds the emptiness check AND the shard-delete
+    // job below — unpersisted it would rescan tombstones + newKeys per use
     val reAdded = old.join(newKeys, Seq("url_hash"), "left_semi")
       .select(col("url_hash"))
-    val nReAdded = reAdded.count()
-    if (nReAdded == 0L) return
-    val remaining = old.join(newKeys, Seq("url_hash"), "left_anti")
-    val oldCount = tombstoneCount
-    val newTid = tombTable.commit(remaining,
-      Map("cleared" -> nReAdded.toString))
-    if (SeenSet.cuckooShardsPresent(tombRoot, oldTid.get)) {
-      // small old filter + small deletion set: edit on the driver (bounded
-      // reads); otherwise one executor task per affected shard
-      val edited =
-        if (oldCount <= SeenSet.cuckooDriverBuildMax(spark)) {
-          import spark.implicits._
-          SeenSet.deleteFromCuckooShardsLocal(tombRoot, oldTid.get,
-            reAdded.as[Long].collect())
-        } else SeenSet.deleteFromCuckooShards(tombRoot, oldTid.get, reAdded)
-      SeenSet.writeCuckooShardFiles(tombRoot, newTid, edited,
-        carryOverFrom = Some(oldTid.get))
-    } else writeCuckoo(newTid)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nReAdded = reAdded.count()
+      if (nReAdded == 0L) return
+      val remaining = old.join(newKeys, Seq("url_hash"), "left_anti")
+      val oldCount = tombstoneCount
+      val newTid = tombTable.commit(remaining,
+        Map("cleared" -> nReAdded.toString))
+      if (SeenSet.cuckooShardsPresent(tombRoot, oldTid.get)) {
+        // small old filter + small deletion set: edit on the driver (bounded
+        // reads); otherwise one executor task per affected shard
+        val edited =
+          if (oldCount <= SeenSet.cuckooDriverBuildMax(spark)) {
+            import spark.implicits._
+            SeenSet.deleteFromCuckooShardsLocal(tombRoot, oldTid.get,
+              reAdded.as[Long].collect())
+          } else SeenSet.deleteFromCuckooShards(tombRoot, oldTid.get, reAdded)
+        SeenSet.writeCuckooShardFiles(tombRoot, newTid, edited,
+          carryOverFrom = Some(oldTid.get))
+      } else writeCuckoo(newTid)
+    } finally reAdded.unpersist(blocking = false)
   }
 
   /** Per-shard Bloom capacity, fixed at first build (merge compatibility). */
@@ -376,9 +381,8 @@ object SeenSet {
   /** Row-count cap for broadcasting the exact tombstone table in
     * [[SeenSet.liveKeys]]; beyond it the anti-join shuffles. */
   private[graft] def tombBroadcastMax(spark: SparkSession): Long =
-    spark.conf.getOption("graft.bcastTombMax")
-      .orElse(sys.env.get("SPARK_GRAFT_BCAST_TOMB_MAX"))
-      .map(_.toLong).getOrElse(4000000L)
+    graft.core.GraftConf.longKnob(spark,
+      "graft.bcastTombMax", "SPARK_GRAFT_BCAST_TOMB_MAX", 4000000L)
 
   private[graft] def cuckooShardPath(root: String, id: Long, shard: Int) =
     Paths.get(root, "snapshots", s"cuckoo-v$id-s$shard.bin")
@@ -397,9 +401,8 @@ object SeenSet {
     * episodic retraction is usually tiny and 3 extra Spark jobs dominate
     * the work; larger sets (a mostly-failed epoch) run distributed. */
   private[graft] def cuckooDriverBuildMax(spark: SparkSession): Long =
-    spark.conf.getOption("graft.cuckooDriverMax")
-      .orElse(sys.env.get("SPARK_GRAFT_CUCKOO_DRIVER_MAX"))
-      .map(_.toLong).getOrElse(100000L)
+    graft.core.GraftConf.longKnob(spark,
+      "graft.cuckooDriverMax", "SPARK_GRAFT_CUCKOO_DRIVER_MAX", 100000L)
 
   /** One shard's filter from ITS keys. Keys are sorted first so the filter
     * bits are identical at any parallelism and on either build path

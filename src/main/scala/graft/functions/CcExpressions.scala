@@ -117,6 +117,29 @@ object CcKernels {
   def normalizeNfc(s: UTF8String): UTF8String =
     UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFC))
+
+  // NOTE: kernels for case classes must live HERE, not on the case class's
+  // companion — a companion method sharing a name with an inherited member
+  // (e.g. Expression.eval) gets NO static forwarder, and generated Java
+  // then fails to compile, silently de-optimizing the whole stage.
+  def extractVisibleText(html: UTF8String): UTF8String = {
+    val root = graft.html.HtmlParser.parse(html.toString)
+    val sb = new StringBuilder
+    def walk(e: graft.html.HElem): Unit = e.children.foreach {
+      case t: graft.html.HText if !t.isComment => sb.append(t.text)
+      case el: graft.html.HElem if !ExtractVisibleText.skipTags.contains(el.name) =>
+        val block = ExtractVisibleText.blockTags.contains(el.name)
+        if (block) sb.append('\n')
+        walk(el)
+        if (block) sb.append('\n')
+      case _ => ()
+    }
+    walk(root)
+    val lines = sb.toString.split('\n').iterator
+      .map(_.split("(?U)\\s+").filter(_.nonEmpty).mkString(" "))
+      .filter(_.nonEmpty)
+    UTF8String.fromString(lines.mkString("\n"))
+  }
 }
 
 case class ExtractCcLicenses(child: Expression, contextNumChars: Int = 150)
@@ -192,26 +215,6 @@ object ExtractVisibleText {
     "footer", "blockquote", "pre", "nav", "table", "ul", "ol", "figure")
   private[functions] val skipTags = Set("script", "style", "head", "title",
     "meta", "link", "noscript", "template")
-
-  /** Static kernel for generated code. */
-  def eval(html: UTF8String): UTF8String = {
-    val root = graft.html.HtmlParser.parse(html.toString)
-    val sb = new StringBuilder
-    def walk(e: graft.html.HElem): Unit = e.children.foreach {
-      case t: graft.html.HText if !t.isComment => sb.append(t.text)
-      case el: graft.html.HElem if !skipTags.contains(el.name) =>
-        val block = blockTags.contains(el.name)
-        if (block) sb.append('\n')
-        walk(el)
-        if (block) sb.append('\n')
-      case _ => ()
-    }
-    walk(root)
-    val lines = sb.toString.split('\n').iterator
-      .map(_.split("(?U)\\s+").filter(_.nonEmpty).mkString(" "))
-      .filter(_.nonEmpty)
-    UTF8String.fromString(lines.mkString("\n"))
-  }
 }
 
 case class ExtractVisibleText(child: Expression)
@@ -219,9 +222,9 @@ case class ExtractVisibleText(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "extract_visible_text"
   override def nullSafeEval(input: Any): Any =
-    ExtractVisibleText.eval(input.asInstanceOf[UTF8String])
+    CcKernels.extractVisibleText(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ExtractVisibleText.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CcKernels.extractVisibleText($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

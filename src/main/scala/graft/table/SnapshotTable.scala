@@ -245,6 +245,7 @@ final class SnapshotTable(val root: String, spark: SparkSession,
         snapFiles.filter { p =>
           val n = p.getFileName.toString
           n == s"v$id.json" || n.startsWith(s"cuckoo-v$id-") ||
+            n == s"cuckoo-v$id.bin" || // legacy pre-sharding sidecar
             n.startsWith(s"bloom-v$id-")
         }.foreach(Files.deleteIfExists)
       }
