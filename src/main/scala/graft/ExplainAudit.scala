@@ -44,14 +44,16 @@ object ExplainAudit {
       // schedule itself is byte-identical to the broadcast path (spec'd in
       // FrontierSpec "robots gate").
       println("\n================ crawl: schedule (robots hash-join fallback) ================")
+      val bcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val savedBcast = bcastKeys.map(k => k -> spark.conf.getOption(k))
       try {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        bcastKeys.foreach(spark.conf.set(_, "-1"))
         Scheduler.scheduleEpoch(frontier, seen, Some(graft.gen.SyntheticCorpus.robots(spark)),
           budgetPerHost = 5, robotsHosts = Long.MaxValue).explain("formatted")
-      } finally {
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      } finally savedBcast.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
       println("\n================ crawl: fetch join (broadcast schedule) ================")
       val pages = graft.gen.SyntheticCorpus.pages(spark, 5000)

@@ -103,12 +103,18 @@ object CrawlQueries {
     * (the qWarcRead fixture lesson) so repeat bench invocations time the
     * PROBE, not state construction. */
   private def ensureSeenRetractState(s: SparkSession, dir: String): String = {
+    // The root embeds the SOURCE FINGERPRINT, not just the dir: the
+    // executor-side Bloom/cuckoo probe caches key on (root, snapshot id),
+    // and a rebuilt state at the SAME root would reuse ids 1..N — stale
+    // cached filters would then serve wrong membership. A fingerprint
+    // change moves the state to a fresh root instead of rebuilding in place.
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-qsr-${Integer.toHexString(dir.hashCode)}")
+      s"graft-qsr-${Integer.toHexString(dir.hashCode)}-" +
+        Integer.toHexString(sourceFingerprint(dir).hashCode))
     val marker = root.resolve("_state_ok")
     if (!markerCurrent(marker, dir)) {
-      if (java.nio.file.Files.exists(root)) { // stale state: rebuild from scratch
+      if (java.nio.file.Files.exists(root)) { // partial build (no marker): restart
         val w = java.nio.file.Files.walk(root)
         val paths = try w.iterator().asScala.toSeq finally w.close()
         paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))

@@ -126,10 +126,23 @@ object CrawlEpoch {
     // block, hidden under the fetch/decode stage's wall clock.
     // Gating-table host-count bound for the broadcast decision: |cache ∪
     // (src \ cache)| ≤ cacheRows (known exactly from the current manifest) +
-    // srcRows (known only when the optimizer has a row-count estimate for
-    // the source — no counting job is ever run for this). Unknown ⇒
-    // Long.MaxValue ⇒ Scheduler.applyRobots stays unhinted (safe at 10^8
-    // hosts; AQE still broadcast-converts a genuinely small gate at runtime).
+    // srcRows (known only when the source plan PROVES an exact count — an
+    // in-memory relation or a range, through projections/aliases; the
+    // optimizer's stats.rowCount is an ESTIMATE that can undercount by
+    // orders of magnitude and must never enable a broadcast. No counting
+    // job is ever run for this). Unknown ⇒ Long.MaxValue ⇒
+    // Scheduler.applyRobots stays unhinted (safe at 10^8 hosts; AQE still
+    // broadcast-converts a genuinely small gate at runtime).
+    def exactRowCount(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Long] = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      plan match {
+        case p: Project       => exactRowCount(p.child)
+        case a: SubqueryAlias => exactRowCount(a.child)
+        case l: LocalRelation => Some(l.data.length.toLong)
+        case r: Range         => Some(r.numElements.longValue)
+        case _                => None
+      }
+    }
     val robotsCache: Option[(SnapshotTable, DataFrame, DataFrame, Long)] = robots.map { src =>
       val cacheT = new SnapshotTable(s"$stateRoot/robots", spark)
       val known = if (cacheT.exists) Some(cacheT.read()) else None
@@ -137,8 +150,7 @@ object CrawlEpoch {
         k.unionByName(src.join(k.select(col("host")), Seq("host"), "left_anti")))
       val cacheRows = cacheT.currentSnapshotId.flatMap(cacheT.manifest)
         .map(_.get("row_count").asLong)
-      val srcRows = src.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.longValue)
+      val srcRows = exactRowCount(src.queryExecution.optimizedPlan)
       val hostBound = (known, cacheRows, srcRows) match {
         case (None, _, Some(s))          => s
         case (Some(_), Some(c), Some(s)) => c + s

@@ -20,32 +20,42 @@ import org.apache.spark.util.sketch.BloomFilter
   * Two slots cover the at-most-two in-flight epochs; older generations are
   * evicted.
   */
-object BloomProbe {
-
-  // (root#shard) -> up to two (snapshotId, filter) generations, newest first
+/** Executor-resident cache keyed by (key, snapshot id), holding AT MOST TWO
+  * generations per key, newest first. Shared by the Bloom and cuckoo shard
+  * probes (identical eviction/race discipline — one implementation so the
+  * two cannot drift). Updates go through `compute` so two tasks missing on
+  * DIFFERENT generations at once (exactly the pipelined case the two slots
+  * exist for) cannot clobber each other's entry — a plain put would evict
+  * the other loader's generation and thrash re-deserialization per batch. */
+private[frontier] final class TwoGenCache[F] {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, List[(Long, BloomFilter)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[(Long, F)]]()
 
-  private[graft] def filterFor(root: String, id: Long, shard: Int): BloomFilter = {
-    val key = s"$root#$shard"
+  def get(key: String, id: Long)(load: => F): F = {
     val cur = cache.get(key)
     val hit = if (cur != null) cur.find(_._1 == id) else None
     hit match {
-      case Some((_, bf)) => bf
+      case Some((_, f)) => f
       case None =>
-        val bf = BloomFilter.readFrom(new ByteArrayInputStream(
-          Files.readAllBytes(Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin"))))
-        // atomic merge: two tasks missing on DIFFERENT generations at once
-        // (exactly the pipelined case the two slots exist for) must not
-        // clobber each other's entry — a plain put would evict the other
-        // loader's generation and thrash re-deserialization per row batch
+        val f = load
         val merged = cache.compute(key, (_, prev0) => {
           val prev = if (prev0 == null) Nil else prev0.filterNot(_._1 == id)
-          ((id, bf) :: prev).take(2)
+          ((id, f) :: prev).take(2)
         })
-        merged.find(_._1 == id).map(_._2).getOrElse(bf)
+        merged.find(_._1 == id).map(_._2).getOrElse(f)
     }
   }
+}
+
+object BloomProbe {
+
+  private val cache = new TwoGenCache[BloomFilter]
+
+  private[graft] def filterFor(root: String, id: Long, shard: Int): BloomFilter =
+    cache.get(s"$root#$shard", id) {
+      BloomFilter.readFrom(new ByteArrayInputStream(
+        Files.readAllBytes(Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin"))))
+    }
 
   /** Static probe entry point for generated code (whole-stage codegen calls
     * this directly — no boxing, no UDF wrapper). */
@@ -121,27 +131,13 @@ case class BloomMightContain(hash: Expression, rootExpr: Expression, idExpr: Exp
   * a one-slot cache would re-read a shard file per mismatching row. */
 object CuckooProbe {
 
-  // (root#shard) -> up to two (snapshotId, filter) generations, newest first
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, List[(Long, CuckooFilter)]]()
+  private val cache = new TwoGenCache[CuckooFilter]
 
-  private[graft] def filterFor(root: String, id: Long, shard: Int): CuckooFilter = {
-    val key = s"$root#$shard"
-    val cur = cache.get(key)
-    val hit = if (cur != null) cur.find(_._1 == id) else None
-    hit match {
-      case Some((_, cf)) => cf
-      case None =>
-        val cf = CuckooFilter.deserialize(Files.readAllBytes(
-          SeenSet.cuckooShardPath(root, id, shard)))
-        // atomic merge — see BloomProbe.filterFor
-        val merged = cache.compute(key, (_, prev0) => {
-          val prev = if (prev0 == null) Nil else prev0.filterNot(_._1 == id)
-          ((id, cf) :: prev).take(2)
-        })
-        merged.find(_._1 == id).map(_._2).getOrElse(cf)
+  private[graft] def filterFor(root: String, id: Long, shard: Int): CuckooFilter =
+    cache.get(s"$root#$shard", id) {
+      CuckooFilter.deserialize(Files.readAllBytes(
+        SeenSet.cuckooShardPath(root, id, shard)))
     }
-  }
 
   /** Static probe entry point for generated code. */
   def probe(root: String, id: Long, h: Long): Boolean =

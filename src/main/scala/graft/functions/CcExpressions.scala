@@ -46,7 +46,7 @@ object ExtractCcLicenses {
 object CcKernels {
 
   private val GateNeedle: Array[Byte] =
-    "creativecommons.org".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    LicenseFinder.CcGateNeedle.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Byte-level cheap gate (`license_annotator.py:184-187`) evaluated on
     * the raw UTF8String BEFORE the UTF8→java.lang.String copy: ~96% of

@@ -43,6 +43,10 @@ object LicenseFinder {
 
   private val WsSplit = Pattern.compile("\\s+", Pattern.UNICODE_CHARACTER_CLASS)
 
+  /** The cheap-gate needle, shared with the byte-level pre-gate in
+    * `CcKernels.containsCcGate` so the two cannot drift. */
+  val CcGateNeedle = "creativecommons.org"
+
   private def containsIgnoreCaseFast(hay: String, needleLower: String): Boolean = {
     val max = hay.length - needleLower.length
     var i = 0
@@ -217,7 +221,7 @@ object LicenseFinder {
     // filter CCTextFilter (SURVEY §2.4 F2) so plans keep it ahead of this
     // call. Allocation-free case-insensitive scan: this runs on EVERY page
     // and a full toLowerCase would copy ~1 KB per document.
-    if (!containsIgnoreCaseFast(html, "creativecommons.org")) return Nil
+    if (!containsIgnoreCaseFast(html, CcGateNeedle)) return Nil
 
     val trimmed = html.trim
     if (!trimmed.contains('<') &&

@@ -272,14 +272,22 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     val m = manifest(id)
     val empty = m.exists(n => n.has("row_count") && n.get("row_count").asLong == 0L)
     val schemaJson = m.filter(_.has("schema_json")).map(_.get("schema_json").asText)
-    if (empty && schemaJson.isDefined) {
-      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson.get)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val schema = schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    if (empty && schema.isDefined) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.get)
     } else {
       val dirs = dataDirs(id)
-      if (dirs.isEmpty) spark.read.parquet(dataDir(id).toString)
-      else spark.read.parquet(dirs: _*)
+      // Pin the read to the manifest's recorded schema: a delta chain whose
+      // older dirs predate a column (e.g. a legacy 2-column frontier under a
+      // retries-bearing delta) must read legacy rows as NULL in that column.
+      // Un-pinned, spark.read.parquet samples ONE file's footer for the
+      // schema and can drop the new column for the whole chain. Also skips
+      // footer schema inference on the serial per-epoch read path.
+      val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+      if (dirs.isEmpty) reader.parquet(dataDir(id).toString)
+      else reader.parquet(dirs: _*)
     }
   }
 
