@@ -80,6 +80,24 @@ class FrontierSpec extends SparkSpecBase {
 
   // --- seen set --------------------------------------------------------------
 
+  test("snapshot table: mixed-schema delta chain reads legacy rows as null in new columns") {
+    import spark.implicits._
+    val t = new SnapshotTable(tmpDir("mixed"), spark)
+    // legacy 2-column full commit, then a delta that adds a column — the
+    // frontier migration shape (pre-retries dirs under a retries delta)
+    t.commit(Seq(("u1", 1.0)).toDF("url", "priority"))
+    t.commitDelta(Seq(("u2", 2.0, 5)).toDF("url", "priority", "retries"))
+    val r = t.read()
+    assert(r.columns.contains("retries"),
+      "chain read must use the newest manifest schema, not a sampled footer")
+    val byUrl = r.collect().map(row =>
+      row.getString(row.fieldIndex("url")) ->
+        (if (row.isNullAt(row.fieldIndex("retries"))) None
+         else Some(row.getInt(row.fieldIndex("retries"))))).toMap
+    assert(byUrl("u1") === None, "legacy rows read the new column as null")
+    assert(byUrl("u2") === Some(5))
+  }
+
   test("seen set: exact semantics — no false drops, no leaks") {
     import spark.implicits._
     val root = tmpDir("seen")
