@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   spark-submit --class graft.app.CrawlMain <jar> \
   *     --state /data/crawl --pages 1000000 --images 100000 \
-  *     --seeds 2000000 --budget 125000 --epochs 3
+  *     --seeds 2000000 --budget 125000 --epochs 3 \
+  *     --retry-budget 100 --expire-keep 2
   * }}}
   *
   * Re-invoking with the same `--state` resumes: completed epochs (and
@@ -28,6 +29,9 @@ object CrawlMain {
     val nSeeds = opts.getOrElse("--seeds", (nPages * 2).toString).toLong
     val budget = opts.getOrElse("--budget", math.max(100, nPages / 8).toString).toInt
     val epochs = opts.getOrElse("--epochs", "1").toInt
+    // retry failed fetches after each epoch, bounded per URL (0 = off)
+    val retryBudget = opts.getOrElse("--retry-budget", "0").toInt
+    val expireKeep = opts.getOrElse("--expire-keep", "0").toInt // 0 = never
 
     val spark = SparkSession.builder()
       .appName("graft-crawl")
@@ -45,8 +49,14 @@ object CrawlMain {
 
     (1 to epochs).foreach { e =>
       val m = CrawlEpoch.run(state, spark, pages, images, Some(robots), budget, e)
+      val requeued =
+        if (retryBudget > 0)
+          CrawlEpoch.requeueFailures(state, spark, e, retryBudget = retryBudget)
+        else 0L
+      if (expireKeep > 0) CrawlEpoch.expireState(state, spark, expireKeep)
       println(s"epoch $e: scheduled=${m.scheduled} fetched=${m.fetched} " +
-        s"licensed=${m.licensed} decodeOk=${m.decodeOk} frontier=${m.newFrontier}")
+        s"licensed=${m.licensed} decodeOk=${m.decodeOk} frontier=${m.newFrontier}" +
+        (if (retryBudget > 0) s" requeued=$requeued" else ""))
     }
     spark.stop()
   }
