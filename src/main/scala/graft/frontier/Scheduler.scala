@@ -35,10 +35,17 @@ object Scheduler {
     val aggs = Seq(max(col("priority")).as("priority"), min(col("url")).as("url")) ++
       (if (frontier.columns.contains("retries"))
         Seq(max(col("retries")).as("retries")) else Nil)
+    // Fused url_key: one canonicalization per row instead of three (the
+    // separate canon/host/hash expressions each re-parsed the raw URL).
+    // __k stays in its own projection so CollapseProject cannot duplicate
+    // the kernel per field reference (the __lic/__chk discipline).
     frontier
-      .withColumn("canon_url", GraftFunctions.canonicalizeUrl(col("url")))
-      .withColumn("host", GraftFunctions.urlHost(col("url")))
-      .withColumn("url_hash", GraftFunctions.urlHash64(col("url")))
+      .select(col("*"), GraftFunctions.urlKey(col("url")).as("__k"))
+      .select(col("*"),
+        col("__k").getField("canon_url").as("canon_url"),
+        col("__k").getField("host").as("host"),
+        col("__k").getField("url_hash").as("url_hash"))
+      .drop("__k")
       .groupBy(col("canon_url"), col("host"), col("url_hash"))
       .agg(aggs.head, aggs.tail: _*)
   }

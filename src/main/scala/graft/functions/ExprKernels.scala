@@ -53,6 +53,20 @@ object ExprKernels {
   def urlHash64(u: UTF8String): Long =
     UrlNormalize.urlHash64(UrlNormalize.canonicalize(u.toString))
 
+  /** Fused frontier key: ONE canonicalization yielding
+    * struct(canon_url, host, url_hash). `Scheduler.normalize` previously
+    * computed the three columns through three expressions, each of which
+    * re-canonicalized the raw URL — 3× the parse cost on the frontier-wide
+    * stage. Byte-identical to the separate expressions by construction
+    * (host = hostOfCanonical(canon), hash = urlHash64(canon)). */
+  def urlKey(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val canon = UrlNormalize.canonicalize(u.toString)
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(canon),
+      UTF8String.fromString(UrlNormalize.hostOfCanonical(canon)),
+      UrlNormalize.urlHash64(canon))
+  }
+
   def urlDecode(u: UTF8String): UTF8String =
     UTF8String.fromString(graft.html.LicenseFinder.percentDecode(u.toString))
 

@@ -20,6 +20,7 @@ object GraftFunctions {
     "url_host" -> (es => UrlHost(es.head)),
     "registered_domain" -> (es => RegisteredDomain(es.head)),
     "url_hash64" -> (es => UrlHash64(es.head)),
+    "url_key" -> (es => UrlKey(es.head)),
     "minhash_sig" -> (es => MinHashSig(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es.head)),
@@ -59,6 +60,7 @@ object GraftFunctions {
   def urlHost(url: Column): Column = call_function("url_host", url)
   def registeredDomain(url: Column): Column = call_function("registered_domain", url)
   def urlHash64(url: Column): Column = call_function("url_hash64", url)
+  def urlKey(url: Column): Column = call_function("url_key", url)
   def minhashSig(text: Column): Column = call_function("minhash_sig", text)
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def winnowFingerprint(text: Column): Column = call_function("winnow_fingerprint", text)

@@ -75,9 +75,8 @@ object UrlNormalize {
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
-  /** Host of a canonical URL (port already normalized away for defaults). */
-  def host(rawUrl: String): String = {
-    val canon = canonicalize(rawUrl)
+  /** Host of an ALREADY-canonical URL (port normalized away for defaults). */
+  def hostOfCanonical(canon: String): String = {
     val start = canon.indexOf("://") + 3
     val end0 = canon.indexOf('/', start)
     val end = if (end0 < 0) canon.length else end0
@@ -85,6 +84,9 @@ object UrlNormalize {
     val colon = h.indexOf(':')
     if (colon >= 0) h.substring(0, colon) else h
   }
+
+  /** Host of a raw URL. */
+  def host(rawUrl: String): String = hostOfCanonical(canonicalize(rawUrl))
 
   /** Multi-label public suffixes we special-case (embedded subset of the
     * public-suffix list — enough for the corpus + common real domains;
@@ -162,6 +164,22 @@ case class RegisteredDomain(child: Expression) extends UnaryExpression {
     ExprKernels.registeredDomain(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.registeredDomain($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused frontier key — struct(canon_url, host, url_hash) from ONE
+  * canonicalization pass (see [[ExprKernels.urlKey]]). */
+case class UrlKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("canon_url", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("url_hash", LongType, nullable = false)))
+  override def prettyName: String = "url_key"
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.urlKey(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.urlKey($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
