@@ -173,12 +173,22 @@ object CrawlEpoch {
     }
 
     // --- stage 1: schedule ---------------------------------------------------
+    // The normalized frontier is PERSISTED for the stage: it feeds both the
+    // maybes count (the keys-side prune gate in filterUnseenPersisted — at
+    // 10^10 seen keys the prune keeps the key table out of the exchange)
+    // and the schedule plan itself, then is dropped once the schedule is
+    // committed. Epoch-frontier sized by the shedding invariant.
     if (!schedTable.stageDone(epoch, "scheduled")) timed("schedule") {
-      val sch = Scheduler.scheduleEpoch(frontier.read(), seen,
-        robotsCache.map(_._3), budgetPerHost,
-        robotsHosts = robotsCache.map(_._4).getOrElse(Long.MaxValue))
-      schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
-      schedTable.markStage(epoch, "scheduled")
+      val normalized = Scheduler.normalize(frontier.read())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sch = Scheduler.scheduleFromNormalized(normalized, seen,
+          robotsCache.map(_._3), budgetPerHost,
+          robotsHosts = robotsCache.map(_._4).getOrElse(Long.MaxValue),
+          persisted = true)
+        schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
+        schedTable.markStage(epoch, "scheduled")
+      } finally normalized.unpersist(blocking = false)
     }
     val scheduled = schedTable.read()
 

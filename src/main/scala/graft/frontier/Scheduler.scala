@@ -107,9 +107,25 @@ object Scheduler {
       seenSet: SeenSet,
       robots: Option[DataFrame],
       budgetPerHost: Int,
-      robotsHosts: Long = Long.MaxValue): DataFrame = {
-    val normalized = normalize(rawFrontier)
-    val unseen = seenSet.filterUnseen(normalized)
+      robotsHosts: Long = Long.MaxValue): DataFrame =
+    scheduleFromNormalized(normalize(rawFrontier), seenSet, robots,
+      budgetPerHost, robotsHosts, persisted = false)
+
+  /** [[scheduleEpoch]] over an already-[[normalize]]d frontier. With
+    * `persisted = true` the caller guarantees `normalized` is cached
+    * (CrawlEpoch does), enabling the keys-side prune of the seen-set
+    * anti-join ([[SeenSet.filterUnseenPersisted]]) — at 10^10 keys that
+    * keeps the key table out of the exchange entirely. */
+  def scheduleFromNormalized(
+      normalized: DataFrame,
+      seenSet: SeenSet,
+      robots: Option[DataFrame],
+      budgetPerHost: Int,
+      robotsHosts: Long,
+      persisted: Boolean): DataFrame = {
+    val unseen =
+      if (persisted) seenSet.filterUnseenPersisted(normalized)
+      else seenSet.filterUnseen(normalized)
     val allowed = robots.fold(unseen)(applyRobots(unseen, _, robotsHosts))
     val base = Seq(col("url"), col("canon_url"), col("host"), col("url_hash"),
       col("priority"), col("host_rank"))

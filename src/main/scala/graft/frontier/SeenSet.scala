@@ -291,6 +291,42 @@ final class SeenSet(root: String, spark: SparkSession,
   private def shardsPresent(id: Long): Boolean =
     (0 until ShardCount).forall(s => Files.exists(bloomPath(id, s)))
 
+  /** [[filterUnseen]] for a frontier the CALLER HAS PERSISTED (or that is
+    * trivially cheap to recompute): additionally prunes the KEYS side of
+    * the exact-confirm anti-join. One aggregate job over `frontier` counts
+    * the Bloom maybes; when they fit the broadcast cap
+    * (`graft.bcastMaybesMax`), the key table is semi-joined against the
+    * BROADCAST maybes — at 10^10 keys the keys are then filtered in their
+    * scan instead of exchanging every accumulated key each epoch (~80 GB).
+    * The maybes branch re-reads `frontier`, which is why persistence is the
+    * caller's contract: measured UNPERSISTED, the column-pruned branch
+    * defeats ReuseExchange and re-executes the frontier's upstream
+    * (120→301 s on a matched 4M pair — BASELINE.md negative result).
+    * Oversized maybe sets (mass-revisit epochs) fall back to the unpruned
+    * plan unchanged. */
+  def filterUnseenPersisted(frontier: DataFrame): DataFrame = {
+    if (isEmpty) return frontier
+    GraftFunctions.register(spark)
+    table.currentSnapshotId match {
+      case Some(id) if shardsPresent(id) =>
+        val probe = call_function("bloom_might_contain",
+          col("url_hash"), lit(root), lit(id))
+        val maybes = frontier.select(col("url_hash")).where(probe)
+        val nMaybes = maybes.count()
+        if (nMaybes <= SeenSet.maybesBroadcastMax(spark)) {
+          val keysPruned = liveKeys().withColumnRenamed("url_hash", "__seen_hash")
+            .join(broadcast(maybes), col("__seen_hash") === col("url_hash"),
+              "left_semi")
+          frontier.withColumn("__maybe_seen", probe)
+            .join(keysPruned,
+              col("url_hash") === col("__seen_hash") && col("__maybe_seen"),
+              "left_anti")
+            .drop("__maybe_seen")
+        } else filterUnseen(frontier)
+      case _ => filterUnseen(frontier)
+    }
+  }
+
   /** Rows of `frontier` whose `url_hash` is NOT in the seen set.
     *
     * Single pass over the frontier: the codegen'd [[BloomMightContain]] probe
@@ -383,6 +419,12 @@ object SeenSet {
   private[graft] def tombBroadcastMax(spark: SparkSession): Long =
     graft.core.GraftConf.longKnob(spark,
       "graft.bcastTombMax", "SPARK_GRAFT_BCAST_TOMB_MAX", 4000000L)
+
+  /** Cap on broadcasting the frontier's Bloom-maybe hash set for the
+    * keys-side prune in [[SeenSet.filterUnseenPersisted]]. */
+  private[graft] def maybesBroadcastMax(spark: SparkSession): Long =
+    graft.core.GraftConf.longKnob(spark,
+      "graft.bcastMaybesMax", "SPARK_GRAFT_BCAST_MAYBES_MAX", 4000000L)
 
   private[graft] def cuckooShardPath(root: String, id: Long, shard: Int) =
     Paths.get(root, "snapshots", s"cuckoo-v$id-s$shard.bin")

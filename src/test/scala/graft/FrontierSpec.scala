@@ -192,6 +192,31 @@ class FrontierSpec extends SparkSpecBase {
     assert(plan.contains("bloom_might_contain"), "probe missing from the plan")
   }
 
+  test("filterUnseenPersisted: keys-side prune, byte-equal to the lazy path") {
+    import spark.implicits._
+    val seen = new SeenSet(tmpDir("seenprune"), spark)
+    seen.add((0L until 5000L).toDF("url_hash"))
+    val frontier = (2500L until 7500L).toDF("url_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lazyRows = seen.filterUnseen(frontier).as[Long].collect().sorted.toSeq
+      val pruned = seen.filterUnseenPersisted(frontier)
+      assert(pruned.as[Long].collect().sorted.toSeq === lazyRows)
+      assert(lazyRows === (5000L until 7500L).toSeq)
+      // the key table feeds a semi join against the broadcast maybes — the
+      // plan shape that keeps 10^10 keys out of the exchange
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), s"keys-side prune missing:\n$plan")
+      // oversized maybe set: falls back to the unpruned plan, same rows
+      spark.conf.set("graft.bcastMaybesMax", "1")
+      try {
+        val fb = seen.filterUnseenPersisted(frontier)
+        assert(fb.as[Long].collect().sorted.toSeq === lazyRows)
+        assert(!fb.queryExecution.executedPlan.toString.contains("LeftSemi"))
+      } finally spark.conf.unset("graft.bcastMaybesMax")
+    } finally frontier.unpersist(blocking = false)
+  }
+
   test("seen set: rollback restores earlier membership exactly") {
     import spark.implicits._
     val root = tmpDir("seenrb")
