@@ -108,12 +108,28 @@ object CrawlQueries {
     // and a rebuilt state at the SAME root would reuse ids 1..N — stale
     // cached filters would then serve wrong membership. A fingerprint
     // change moves the state to a fresh root instead of rebuilding in place.
+    val dirTag = Integer.toHexString(dir.hashCode)
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-qsr-${Integer.toHexString(dir.hashCode)}-" +
+      s"graft-qsr-$dirTag-" +
         Integer.toHexString(sourceFingerprint(dir).hashCode))
     val marker = root.resolve("_state_ok")
     if (!markerCurrent(marker, dir)) {
+      // GC state roots from PREVIOUS fingerprints of this dir (regenerated
+      // source data): each would otherwise orphan a full seen-set state in
+      // the tmpdir forever. Fresh roots (not in-place rebuilds) are required
+      // because the executor probe caches key on (root, snapshot id).
+      val tmpDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val siblings = java.nio.file.Files.list(tmpDir)
+      try siblings.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(s"graft-qsr-$dirTag-") &&
+          p != root)
+        .foreach { old =>
+          val w = java.nio.file.Files.walk(old)
+          val paths = try w.iterator().asScala.toSeq finally w.close()
+          paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      finally siblings.close()
       if (java.nio.file.Files.exists(root)) { // partial build (no marker): restart
         val w = java.nio.file.Files.walk(root)
         val paths = try w.iterator().asScala.toSeq finally w.close()

@@ -473,7 +473,8 @@ object CrawlEpoch {
     * epoch's schedule sees them again. A URL whose `retries` has reached
     * `retryBudget` is PERMANENTLY dropped — it stays in the seen set and is
     * never rescheduled — matching the reference's 100-attempt cap; the drop
-    * count is `observe`d as `requeue_dropped` on the committed delta.
+    * count is recorded as `requeue_dropped` in the committed delta's
+    * lineage (durable in the manifest, next to the rows it explains).
     * IDEMPOTENT per epoch (a stage marker makes a replay a 0-row no-op).
     * Returns the number of URLs re-queued. */
   def requeueFailures(
@@ -496,22 +497,30 @@ object CrawlEpoch {
       // the >= budget drop counter (not counted): silent URL loss
       if (outSnap.columns.contains("retries"))
         coalesce(col("retries"), lit(0)) else lit(0)
+    // Persist the failed set: it feeds the drop/keep accounting, the seen
+    // retraction AND the frontier delta — unpersisted, each action would
+    // re-scan and re-distinct the epoch's out snapshot, and at 10^10-URL
+    // scale transient failures are the norm, not the exception.
     val failed = outSnap
       .filter(col("fetch_status").isin(retryStatuses: _*))
       .select(col("canon_url").as("url"), col("url_hash"),
         prior.as("retries")).distinct()
-      .observe("requeue", count(lit(1)).as("failed"),
-        sum(when(col("retries") >= retryBudget, 1).otherwise(0))
-          .as("requeue_dropped"))
-    val within = failed.filter(col("retries") < retryBudget)
-    seen.retract(within.select(col("url_hash")),
-      Map("epoch" -> epoch.toString, "stage" -> "requeue"))
-    val fid = frontier.commitDelta(
-      within.select(col("url"), lit(retryPriority).as("priority"),
-        (col("retries") + 1).as("retries")),
-      Map("epoch" -> epoch.toString, "stage" -> "requeue"))
-    frontier.markStage(epoch, "requeue")
-    frontier.manifest(fid).map(_.get("delta_rows").asLong).getOrElse(0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dropped = failed.filter(col("retries") >= retryBudget).count()
+      val within = failed.filter(col("retries") < retryBudget)
+      seen.retract(within.select(col("url_hash")),
+        Map("epoch" -> epoch.toString, "stage" -> "requeue"))
+      // the drop count rides the delta's LINEAGE so it is durably recorded
+      // in the manifest, queryable next to the rows it explains
+      val fid = frontier.commitDelta(
+        within.select(col("url"), lit(retryPriority).as("priority"),
+          (col("retries") + 1).as("retries")),
+        Map("epoch" -> epoch.toString, "stage" -> "requeue",
+          "requeue_dropped" -> dropped.toString))
+      frontier.markStage(epoch, "requeue")
+      frontier.manifest(fid).map(_.get("delta_rows").asLong).getOrElse(0L)
+    } finally failed.unpersist(blocking = false)
   }
 
   /** Await the epoch's sink stage and assemble its metrics. The out-table

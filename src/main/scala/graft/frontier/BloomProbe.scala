@@ -8,25 +8,23 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Executor-side access to the [[SeenSet]] Bloom sidecars.
-  *
-  * The cache holds AT MOST TWO filter generations per (root, shard): keying
-  * by snapshot id alone (as round 1 did) grew one full generation per epoch
-  * and would OOM an executor after a few epochs at the ~750 MB/shard target
-  * scale, while a SINGLE resident generation thrashes under pipelining —
-  * epoch N's still-running out stage probes snapshot N of a schedule-Bloom
-  * root while epoch N+1's stages concurrently probe snapshot N+1 of the
-  * same root, and one-slot caching would re-read a shard file per probe.
-  * Two slots cover the at-most-two in-flight epochs; older generations are
-  * evicted.
-  */
 /** Executor-resident cache keyed by (key, snapshot id), holding AT MOST TWO
   * generations per key, newest first. Shared by the Bloom and cuckoo shard
   * probes (identical eviction/race discipline — one implementation so the
-  * two cannot drift). Updates go through `compute` so two tasks missing on
-  * DIFFERENT generations at once (exactly the pipelined case the two slots
-  * exist for) cannot clobber each other's entry — a plain put would evict
-  * the other loader's generation and thrash re-deserialization per batch. */
+  * two cannot drift).
+  *
+  * WHY two generations (not one, not per-id): keying by snapshot id alone
+  * (as round 1 did) grew one full generation per epoch and would OOM an
+  * executor after a few epochs at the ~750 MB/shard target scale, while a
+  * SINGLE resident generation thrashes under pipelining — epoch N's
+  * still-running out stage probes snapshot N of a schedule-Bloom root while
+  * epoch N+1's stages concurrently probe snapshot N+1 of the same root, and
+  * one-slot caching would re-read a shard file per probe. Two slots cover
+  * the at-most-two in-flight epochs; older generations are evicted.
+  * Updates go through `compute` so two tasks missing on DIFFERENT
+  * generations at once cannot clobber each other's entry — a plain put
+  * would evict the other loader's generation and thrash re-deserialization
+  * per batch. */
 private[frontier] final class TwoGenCache[F] {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, List[(Long, F)]]()
@@ -47,6 +45,8 @@ private[frontier] final class TwoGenCache[F] {
   }
 }
 
+/** Executor-side access to the [[SeenSet]] Bloom sidecars (shard files
+  * loaded on demand through the shared [[TwoGenCache]]). */
 object BloomProbe {
 
   private val cache = new TwoGenCache[BloomFilter]
