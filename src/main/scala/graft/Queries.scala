@@ -219,24 +219,24 @@ object Queries {
        |  COALESCE(abbr1, abbr2) AS license_abbr,
        |  (abbr1 IS NOT NULL AND abbr2 IS NOT NULL AND abbr1 <> abbr2)
        |    AS license_disagreement,
-  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [abbr1, abbr2]
-       WHEN abbr1 IS NOT NULL THEN [abbr1] ELSE [abbr2] END) AS VARCHAR) AS pl_abbr,
-  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [ver1, ver2]
-       WHEN abbr1 IS NOT NULL THEN [ver1] ELSE [ver2] END) AS VARCHAR) AS pl_version,
-  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['meta_tag', 'a_tag']
-       WHEN abbr1 IS NOT NULL THEN ['meta_tag'] ELSE ['a_tag'] END) AS VARCHAR) AS pl_location,
-  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [TRUE, FALSE]
-       WHEN abbr1 IS NOT NULL THEN [TRUE] ELSE [FALSE] END) AS VARCHAR) AS pl_in_head,
-  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [FALSE, TRUE]
-       WHEN abbr1 IS NOT NULL THEN [FALSE] ELSE [TRUE] END) AS VARCHAR) AS pl_in_footer,
-  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [el1, el2]
-       WHEN abbr1 IS NOT NULL THEN [el1] ELSE [el2] END) AS VARCHAR) AS pl_element,
-  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL
-         THEN ['', 'Shared body sentence.']
-       WHEN abbr1 IS NOT NULL THEN ['']
-       ELSE ['Shared body sentence.'] END) AS VARCHAR) AS pl_left_context,
-  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['', '']
-       ELSE [''] END) AS VARCHAR) AS pl_right_context
+       |  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [abbr1, abbr2]
+       |    WHEN abbr1 IS NOT NULL THEN [abbr1] ELSE [abbr2] END) AS VARCHAR) AS pl_abbr,
+       |  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [ver1, ver2]
+       |    WHEN abbr1 IS NOT NULL THEN [ver1] ELSE [ver2] END) AS VARCHAR) AS pl_version,
+       |  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['meta_tag', 'a_tag']
+       |    WHEN abbr1 IS NOT NULL THEN ['meta_tag'] ELSE ['a_tag'] END) AS VARCHAR) AS pl_location,
+       |  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [TRUE, FALSE]
+       |    WHEN abbr1 IS NOT NULL THEN [TRUE] ELSE [FALSE] END) AS VARCHAR) AS pl_in_head,
+       |  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [FALSE, TRUE]
+       |    WHEN abbr1 IS NOT NULL THEN [FALSE] ELSE [TRUE] END) AS VARCHAR) AS pl_in_footer,
+       |  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN [el1, el2]
+       |    WHEN abbr1 IS NOT NULL THEN [el1] ELSE [el2] END) AS VARCHAR) AS pl_element,
+       |  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL
+       |      THEN ['', 'Shared body sentence.']
+       |    WHEN abbr1 IS NOT NULL THEN ['']
+       |    ELSE ['Shared body sentence.'] END) AS VARCHAR) AS pl_left_context,
+       |  CAST(to_json(CASE WHEN abbr1 IS NOT NULL AND abbr2 IS NOT NULL THEN ['', '']
+       |    ELSE [''] END) AS VARCHAR) AS pl_right_context
        |FROM e
        |ORDER BY doc_id""".stripMargin
   }

@@ -119,11 +119,21 @@ object CrawlQueries {
       // source data): each would otherwise orphan a full seen-set state in
       // the tmpdir forever. Fresh roots (not in-place rebuilds) are required
       // because the executor probe caches key on (root, snapshot id).
+      // Only roots that have been idle for ≥30 min are collected: a
+      // CONCURRENT bench/verify process may still be probing a
+      // previous-fingerprint root (or a different dir whose hashCode
+      // collides on dirTag) — deleting a live root would fail that run
+      // mid-query. An orphaned root's mtime stops advancing once its owner
+      // exits, so the age threshold still reclaims it on the next rebuild.
+      val gcIdleMs = 30L * 60 * 1000
+      val now = System.currentTimeMillis()
       val tmpDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       val siblings = java.nio.file.Files.list(tmpDir)
       try siblings.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(s"graft-qsr-$dirTag-") &&
-          p != root)
+          p != root &&
+          (try now - java.nio.file.Files.getLastModifiedTime(p).toMillis > gcIdleMs
+           catch { case _: Exception => false }))
         .foreach { old =>
           val w = java.nio.file.Files.walk(old)
           val paths = try w.iterator().asScala.toSeq finally w.close()

@@ -219,10 +219,24 @@ object TextQueries {
   // Exact all-pairs here (the oracle must be exhaustive); the sub-quadratic
   // scale path is the RHP-bucketed variant (Ann.lshTopK, DedupAnnSpec).
 
+  /** The synthetic embeddings alone contain NO pair with cos ≥ 0.9 (the
+    * oracle compared 0 = 0 rows in rounds 2-3 — vacuously green), so the
+    * corpus is augmented IN the query with deterministic derived
+    * near-duplicates: for vec_id < 8, a copy at vec_id+100000 with every
+    * element shifted by +0.03 — cos(v, v+0.03·1) lands in ≈[0.95, 1) for
+    * these unit-scale vectors, so the match arm, the rounding, and the
+    * ordering are all exercised against NON-EMPTY oracle output. Both
+    * engines compute the same double arithmetic on the same derivation;
+    * the ≥0.9 filter applies to the ROUNDED value on both sides, so even a
+    * boundary-grazing cosine cannot diverge. */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = t(s, dir, "embeddings")
+    val base = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeded = base.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x + lit(0.03)).as("v"))
+    val e = base.unionAll(seeded)
     val a = e.select(col("vec_id").as("a_id"), col("v").as("av"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -232,7 +246,11 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
   val qDedupEmbeddingSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e AS (SELECT vec_id, v FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 100000, list_transform(v, x -> x + 0.03)
+      |      FROM base WHERE vec_id < 8)
       |SELECT a_id, b_id, cos FROM (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    ROUND(list_dot_product(a.v, b.v) /

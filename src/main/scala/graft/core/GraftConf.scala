@@ -9,7 +9,18 @@ import org.apache.spark.sql.SparkSession
 object GraftConf {
   def longKnob(spark: SparkSession, confKey: String, envKey: String,
       default: Long): Long =
-    spark.conf.getOption(confKey)
-      .orElse(sys.env.get(envKey))
-      .map(_.toLong).getOrElse(default)
+    spark.conf.getOption(confKey).map(v => parse(confKey, v))
+      .orElse(sys.env.get(envKey).map(v => parse(envKey, v)))
+      .getOrElse(default)
+
+  /** Fail fast WITH the offending key/value named: a typo'd knob (e.g.
+    * `SPARK_GRAFT_BCAST_TOMB_MAX=4m`) must not surface as a bare
+    * NumberFormatException mid-epoch with no hint which of the five gate
+    * knobs it came from. */
+  private def parse(key: String, value: String): Long =
+    try value.trim.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft knob $key='$value' is not a long (plain digits only, no suffixes)")
+    }
 }

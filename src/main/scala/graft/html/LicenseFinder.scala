@@ -47,11 +47,29 @@ object LicenseFinder {
     * `CcKernels.containsCcGate` so the two cannot drift. */
   val CcGateNeedle = "creativecommons.org"
 
+  /** ASCII-only case folding, deliberately: the needle is pure ASCII, and
+    * Python's `needle in html.lower()` (`license_annotator.py:184-187`) does
+    * NOT match exotic spellings either (str.lower maps U+0130 'İ' to
+    * "i"+combining-dot, which breaks the substring). Java's
+    * `regionMatches(true,…)` Unicode folding (İ→i, K→k) would accept pages
+    * the reference rejects — and would disagree with the byte-level pre-gate
+    * `CcKernels.containsCcGate`, which folds A-Z only. The two gates must
+    * agree exactly: a page passing one but not the other would silently skip
+    * extraction. */
   private def containsIgnoreCaseFast(hay: String, needleLower: String): Boolean = {
-    val max = hay.length - needleLower.length
+    val m = needleLower.length
+    val max = hay.length - m
     var i = 0
     while (i <= max) {
-      if (hay.regionMatches(true, i, needleLower, 0, needleLower.length)) return true
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        var c = hay.charAt(i + j)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if (c != needleLower.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return true
       i += 1
     }
     false
