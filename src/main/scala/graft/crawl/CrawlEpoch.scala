@@ -181,11 +181,17 @@ object CrawlEpoch {
     if (!schedTable.stageDone(epoch, "scheduled")) timed("schedule") {
       val normalized = Scheduler.normalize(frontier.read())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Manifest-exact frontier row count (normalize only dedupes): bounds
+      // the Bloom maybes so the keys-side prune's gating count job is
+      // skipped whenever the whole frontier fits the broadcast cap — the
+      // per-epoch-floor case. No counting job is ever run for this.
+      val frontierRows = frontier.currentSnapshotId.flatMap(frontier.manifest)
+        .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
       try {
         val sch = Scheduler.scheduleFromNormalized(normalized, seen,
           robotsCache.map(_._3), budgetPerHost,
           robotsHosts = robotsCache.map(_._4).getOrElse(Long.MaxValue),
-          persisted = true)
+          persisted = true, frontierRows = frontierRows)
         schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
         schedTable.markStage(epoch, "scheduled")
       } finally normalized.unpersist(blocking = false)
@@ -220,9 +226,10 @@ object CrawlEpoch {
     lazy val scheduleBloom: Option[(String, Long)] = schedSnap.map { sid =>
       val schedRoot = s"$stateRoot/scheduled"
       if (!SeenSet.shardFilesPresent(schedRoot, sid))
-        SeenSet.writeShardFiles(schedRoot, sid,
-          SeenSet.buildShards(scheduled.select(col("url_hash")),
-            math.max(1000L, schedRows / SeenSet.ShardCount)))
+        SeenSet.buildWriteShards(schedRoot, sid,
+          scheduled.select(col("url_hash")),
+          math.max(1000L, schedRows / SeenSet.ShardCount),
+          knownRows = schedRows) // exact, from the schedule manifest
       (schedRoot, sid)
     }
     def bloomPrefiltered(df: DataFrame): DataFrame = scheduleBloom match {
@@ -307,9 +314,9 @@ object CrawlEpoch {
             val imgRoot = s"$stateRoot/imgbloom"
             val sid = schedSnap.get
             if (!SeenSet.shardFilesPresent(imgRoot, sid))
-              SeenSet.writeShardFiles(imgRoot, sid, SeenSet.buildShards(
+              SeenSet.buildWriteShards(imgRoot, sid,
                 fetchedIds.select(xxhash64(col("image_id")).as("url_hash")),
-                math.max(1000L, schedRows / SeenSet.ShardCount)))
+                math.max(1000L, schedRows / SeenSet.ShardCount))
             images.where(call_function("bloom_might_contain",
               xxhash64(col("image_id")), lit(imgRoot), lit(sid)))
           }

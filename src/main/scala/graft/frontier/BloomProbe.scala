@@ -3,7 +3,7 @@ package graft.frontier
 import java.io.ByteArrayInputStream
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
@@ -119,6 +119,39 @@ case class BloomMightContain(hash: Expression, rootExpr: Expression, idExpr: Exp
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(hash = newFirst, rootExpr = newSecond, idExpr = newThird)
+}
+
+/** Identity wrapper that BLOCKS constraint propagation of its child: it
+  * forwards evaluation and codegen untouched but reports
+  * `deterministic = false`, which the optimizer's constraint machinery
+  * (alias substitution + InferFiltersFromConstraints) skips.
+  *
+  * Why it exists: [[SeenSet.filterUnseen]] probes the FRONTIER side of its
+  * exact anti-join with `bloom_might_contain`; the join's equality
+  * (`url_hash = __seen_hash`) otherwise lets InferFiltersFromConstraints
+  * transpose the probe onto the KEY-TABLE side as an inferred scan filter —
+  * re-probing every committed key every epoch, which at a 10^10-key set
+  * means every executor touching the scan must hold the full ~12 GB shard
+  * family in its probe cache. Spec-pinned in FrontierSpec ("the probe is
+  * never inferred onto the key-table side"); the assertion FAILED on the
+  * unwrapped plan, so this is a measured fix, not a precaution. Scoped to
+  * the seen-set joins — a session-wide `excludedRules` would also disable
+  * the rule where it genuinely helps. The flag's only other optimizer
+  * effects (no collapse into a pushed filter, no reuse across plans) are
+  * moot here: the probe column is projected once, right where it is used. */
+case class ConstraintBarrier(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "constraint_barrier"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Executor-side access to the [[SeenSet]] tombstone cuckoo sidecars (the

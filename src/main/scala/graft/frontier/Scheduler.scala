@@ -122,9 +122,13 @@ object Scheduler {
       robots: Option[DataFrame],
       budgetPerHost: Int,
       robotsHosts: Long,
-      persisted: Boolean): DataFrame = {
+      persisted: Boolean,
+      frontierRows: Long = Long.MaxValue): DataFrame = {
+    // frontierRows: manifest-exact upper bound on the frontier's rows (the
+    // normalized frame only dedupes, never grows) — lets the keys-side
+    // prune skip its gating count job; MaxValue = unknown, count as before
     val unseen =
-      if (persisted) seenSet.filterUnseenPersisted(normalized)
+      if (persisted) seenSet.filterUnseenPersisted(normalized, frontierRows)
       else seenSet.filterUnseen(normalized)
     val allowed = robots.fold(unseen)(applyRobots(unseen, _, robotsHosts))
     val base = Seq(col("url"), col("canon_url"), col("host"), col("url_hash"),

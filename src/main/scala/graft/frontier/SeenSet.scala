@@ -205,12 +205,6 @@ final class SeenSet(root: String, spark: SparkSession,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def buildShards(keysDf: DataFrame, perShard: Long): Array[BloomFilter] =
-    SeenSet.buildShards(keysDf, perShard)
-
-  private def writeShards(id: Long, blooms: Array[BloomFilter]): Unit =
-    SeenSet.writeShardFiles(root, id, blooms)
-
   /** Add `urlHashes` (column `url_hash`) as a DELTA: keys already present are
     * filtered out (Bloom fast path + exact anti-join on the maybes), only new
     * keys are committed, and only they are hashed into the Bloom shards
@@ -224,7 +218,8 @@ final class SeenSet(root: String, spark: SparkSession,
       val n = table.manifest(id).map(_.get("row_count").asLong).getOrElse(0L)
       val perShard = math.max(1000L, math.max(expectedKeys, 4 * n) / ShardCount)
       writeShardCapacity(perShard)
-      writeShards(id, buildShards(table.readAt(id), perShard))
+      SeenSet.buildWriteShards(root, id, table.readAt(id), perShard,
+        knownRows = n)
       id
     } else {
       // a re-added retracted key just loses its tombstone (it is already in
@@ -250,19 +245,19 @@ final class SeenSet(root: String, spark: SparkSession,
           if (outgrown) math.max(perShard, 4 * total / ShardCount)
           else perShard
         writeShardCapacity(newPerShard)
-        writeShards(cid, buildShards(table.readAt(cid), newPerShard))
+        SeenSet.buildWriteShards(root, cid, table.readAt(cid), newPerShard,
+          knownRows = total)
         cid
       } else {
         // delta-only Bloom build, reading back the just-committed delta files
-        // (columnar longs — no recompute of the filter plan, no persist)
+        // (columnar longs — no recompute of the filter plan, no persist);
+        // each shard task merges the parent generation's shard in place.
+        // delta_rows (exact, from the manifest) routes tiny deltas — the
+        // steady-state late-epoch case — to the bounded driver fast path.
         val deltaDir = m.get("data_dir").asText
-        val deltaBlooms = buildShards(spark.read.parquet(deltaDir), perShard)
-        (0 until ShardCount).foreach { s =>
-          val prev = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
-            Files.readAllBytes(bloomPath(parent, s))))
-          deltaBlooms(s).mergeInPlace(prev)
-        }
-        writeShards(id, deltaBlooms)
+        SeenSet.buildWriteShards(root, id, spark.read.parquet(deltaDir),
+          perShard, mergeParentId = Some(parent),
+          knownRows = m.get("delta_rows").asLong)
         id
       }
     }
@@ -303,16 +298,30 @@ final class SeenSet(root: String, spark: SparkSession,
     * defeats ReuseExchange and re-executes the frontier's upstream
     * (120→301 s on a matched 4M pair — BASELINE.md negative result).
     * Oversized maybe sets (mass-revisit epochs) fall back to the unpruned
-    * plan unchanged. */
-  def filterUnseenPersisted(frontier: DataFrame): DataFrame = {
+    * plan unchanged.
+    *
+    * `rowBound` — an upper bound on `frontier`'s row count KNOWN WITHOUT A
+    * JOB (a snapshot manifest's exact row_count; never an optimizer
+    * estimate): maybes ⊆ frontier, so a bound under the broadcast cap
+    * proves the prune safe and the gating count job is skipped — one fewer
+    * serial job on the per-epoch floor. The broadcast then materializes
+    * the persisted frontier instead. */
+  def filterUnseenPersisted(frontier: DataFrame,
+      rowBound: Long = Long.MaxValue): DataFrame = {
     if (isEmpty) return frontier
     GraftFunctions.register(spark)
     table.currentSnapshotId match {
       case Some(id) if shardsPresent(id) =>
-        val probe = call_function("bloom_might_contain",
-          col("url_hash"), lit(root), lit(id))
+        // constraint_barrier: stops the optimizer transposing the probe onto
+        // the key-table side through the joins' equalities (see the
+        // [[ConstraintBarrier]] scaladoc — spec-pinned in FrontierSpec)
+        val probe = call_function("constraint_barrier",
+          call_function("bloom_might_contain",
+            col("url_hash"), lit(root), lit(id)))
         val maybes = frontier.select(col("url_hash")).where(probe)
-        val nMaybes = maybes.count()
+        val nMaybes =
+          if (rowBound <= SeenSet.maybesBroadcastMax(spark)) rowBound
+          else maybes.count()
         if (nMaybes <= SeenSet.maybesBroadcastMax(spark)) {
           val keysPruned = liveKeys().withColumnRenamed("url_hash", "__seen_hash")
             .join(broadcast(maybes), col("__seen_hash") === col("url_hash"),
@@ -341,8 +350,12 @@ final class SeenSet(root: String, spark: SparkSession,
     GraftFunctions.register(spark)
     table.currentSnapshotId match {
       case Some(id) if shardsPresent(id) =>
-        val probe = call_function("bloom_might_contain",
-          col("url_hash"), lit(root), lit(id))
+        // constraint_barrier: see filterUnseenPersisted — without it the
+        // probe is inferred onto the key table's scan via the anti-join
+        // equality (O(all keys ever) probes per epoch at scale)
+        val probe = call_function("constraint_barrier",
+          call_function("bloom_might_contain",
+            col("url_hash"), lit(root), lit(id)))
         frontier.withColumn("__maybe_seen", probe)
           .join(liveKeys().withColumnRenamed("url_hash", "__seen_hash"),
             col("url_hash") === col("__seen_hash") && col("__maybe_seen"),
@@ -370,43 +383,107 @@ object SeenSet {
 
   def shardOf(h: Long): Int = (((h % ShardCount) + ShardCount) % ShardCount).toInt
 
-  /** Build all [[ShardCount]] Bloom shards over `keys` (column `url_hash`)
-    * in ONE aggregation job (per-partition build → treeReduce bitwise
-    * merge). Shared by the seen set and by transient per-snapshot filters
-    * (e.g. the schedule Bloom that prefilters the fallback fetch join). */
-  private[graft] def buildShards(keysDf: DataFrame, perShard: Long): Array[BloomFilter] = {
-    import keysDf.sparkSession.implicits._
-    val rdd = keysDf.select(col("url_hash")).as[Long].rdd
-    val zero = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
-    if (rdd.isEmpty()) zero
-    else rdd
-      .mapPartitions { it =>
-        val arr = Array.fill(ShardCount)(BloomFilter.create(perShard, 0.01))
-        it.foreach(h => arr(shardOf(h)).putLong(h))
-        Iterator(arr)
-      }
-      .treeReduce { (a, b) =>
-        var i = 0
-        while (i < ShardCount) { a(i).mergeInPlace(b(i)); i += 1 }
-        a
-      }
-  }
-
   /** Write Bloom shards as per-snapshot sidecars under `root/snapshots/`
     * (the layout [[BloomProbe]] reads and [[SnapshotTable.expireSnapshots]]
     * garbage-collects). */
   private[graft] def writeShardFiles(root: String, id: Long,
       blooms: Array[BloomFilter]): Unit =
     blooms.zipWithIndex.foreach { case (bf, shard) =>
-      val out = new java.io.ByteArrayOutputStream()
-      bf.writeTo(out)
-      val dest = Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin")
-      val tmp = Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin.tmp")
-      Files.createDirectories(dest.getParent)
-      Files.write(tmp, out.toByteArray)
-      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      writeOneShard(root, id, shard, bf, tmpTag = "")
     }
+
+  private def bloomShardPath(root: String, id: Long, shard: Int) =
+    Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin")
+
+  /** Atomic single-shard write. `tmpTag` uniquifies the tmp file so a
+    * speculative duplicate task cannot race another attempt's tmp. */
+  private def writeOneShard(root: String, id: Long, shard: Int,
+      bf: BloomFilter, tmpTag: String): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val dest = bloomShardPath(root, id, shard)
+    val tmp = Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin$tmpTag.tmp")
+    Files.createDirectories(dest.getParent)
+    Files.write(tmp, out.toByteArray)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Driver-build cap for Bloom sidecars, in KEYS of the build input (the
+    * delta for incremental adds). Tiny builds skip distributed job overhead
+    * entirely — collect the keys, edit on the driver. */
+  private[graft] def bloomDriverBuildMax(spark: SparkSession): Long =
+    graft.core.GraftConf.longKnob(spark,
+      "graft.bloomDriverMax", "SPARK_GRAFT_BLOOM_DRIVER_MAX", 100000L)
+
+  /** The driver fast path also READS filter-sized data (the parent shards it
+    * merges into, or the fresh filters it allocates), so it is additionally
+    * gated on shard capacity: past this the shards are executor-sized
+    * objects and the build must stay distributed no matter how small the
+    * delta. ~4M keys/shard ≈ 5 MB/shard at 1% fpp. */
+  private val DriverShardCapacityMax = 4L * 1000 * 1000
+
+  /** Build AND write the [[ShardCount]] Bloom shard sidecars for snapshot
+    * `id` — the scale-correct replacement for `buildShards` + driver write:
+    * keys shuffle to ONE TASK PER SHARD (8-byte longs are the only shuffle
+    * payload), each task builds its shard at `perShard` capacity —
+    * OR-merging `mergeParentId`'s same-capacity shard file when given, read
+    * from the shared snapshot store exactly like the probe side
+    * ([[BloomProbe]]) reads it — and writes its own sidecar file atomically.
+    * Nothing filter-sized ever reaches the driver: the previous
+    * treeReduce-of-filter-arrays build moved 16 × full-capacity partials
+    * per map partition (~12 GB per partial at a 10^10-key set) through a
+    * driver-side merge.
+    *
+    * Bit-identical on every path and at any parallelism: a Bloom filter's
+    * bits are the OR-set of its keys' hash bits, so insertion order and
+    * build placement cannot change the file bytes (asserted by spec).
+    *
+    * `knownRows` (an UPPER BOUND on `keysDf`'s rows, from a snapshot
+    * manifest — never a count job) routes bounded builds to a driver fast
+    * path: collect the keys, edit the 16 filters locally, skip the shuffle
+    * — the per-epoch floor case (a tiny delta against a big set). */
+  private[graft] def buildWriteShards(root: String, id: Long, keysDf: DataFrame,
+      perShard: Long, mergeParentId: Option[Long] = None,
+      knownRows: Long = Long.MaxValue): Unit = {
+    val spark = keysDf.sparkSession
+    import spark.implicits._
+    if (knownRows <= bloomDriverBuildMax(spark) &&
+        perShard <= DriverShardCapacityMax) {
+      val keys = keysDf.select(col("url_hash")).as[Long].collect()
+      val shards = Array.tabulate(ShardCount)(s =>
+        freshOrParentShard(root, mergeParentId, perShard, s))
+      keys.foreach(h => shards(shardOf(h)).putLong(h))
+      writeShardFiles(root, id, shards)
+    } else {
+      // closure captures only plain values + object methods (a nested def
+      // here would drag the whole method frame — SparkSession included —
+      // into the task and fail serialization)
+      val (rootC, idC, parentC, capC) = (root, id, mergeParentId, perShard)
+      keysDf.select(col("url_hash")).as[Long].rdd
+        .map(h => (shardOf(h), h))
+        .partitionBy(new ShardPartitioner)
+        .mapPartitionsWithIndex { (shard, it) =>
+          val bf = freshOrParentShard(rootC, parentC, capC, shard)
+          it.foreach { case (_, h) => bf.putLong(h) }
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(tc => s".a${tc.taskAttemptId()}").getOrElse("")
+          writeOneShard(rootC, idC, shard, bf, tmpTag = attempt)
+          Iterator.single(shard)
+        }
+        .collect()
+    }
+  }
+
+  /** One shard's starting filter: the parent generation's same-capacity
+    * shard read from the shared snapshot store, or a fresh filter. Called
+    * from executor tasks (distributed build) and the driver fast path. */
+  private def freshOrParentShard(root: String, parentId: Option[Long],
+      perShard: Long, shard: Int): BloomFilter = parentId match {
+    case Some(pid) => BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+      Files.readAllBytes(bloomShardPath(root, pid, shard))))
+    case None => BloomFilter.create(perShard, 0.01)
+  }
 
   private[graft] def shardFilesPresent(root: String, id: Long): Boolean =
     (0 until ShardCount).forall(s =>

@@ -36,7 +36,8 @@ object GraftFunctions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "shingle_set" -> (es => ShingleSet(es(0), es(1))),
     "bloom_might_contain" -> (es => graft.frontier.BloomMightContain(es(0), es(1), es(2))),
-    "cuckoo_might_contain" -> (es => graft.frontier.CuckooMightContain(es(0), es(1), es(2)))
+    "cuckoo_might_contain" -> (es => graft.frontier.CuckooMightContain(es(0), es(1), es(2))),
+    "constraint_barrier" -> (es => graft.frontier.ConstraintBarrier(es.head))
   )
 
   @volatile private var registered: Set[SparkSession] = Set.empty

@@ -325,6 +325,77 @@ class FrontierSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom shard builds: driver and executor paths write identical sidecar bytes") {
+    import spark.implicits._
+    // same add sequence (first build + delta merge) under each build path;
+    // Bloom bits are an OR-set, so placement/order must not change the files
+    def buildWith(driverMax: String): String = {
+      val root = tmpDir("seenbloom")
+      spark.conf.set("graft.bloomDriverMax", driverMax)
+      try {
+        val seen = new SeenSet(root, spark)
+        seen.add((0L until 60000L).toDF("url_hash"))
+        seen.add((50000L until 70000L).toDF("url_hash"))
+        root
+      } finally spark.conf.unset("graft.bloomDriverMax")
+    }
+    val rootDriver = buildWith("1000000") // everything on the driver
+    val rootDist = buildWith("0") // everything distributed, per-shard tasks
+    def sidecars(root: String): Seq[String] =
+      new java.io.File(s"$root/snapshots").listFiles
+        .filter(_.getName.startsWith("bloom-v")).map(_.getName).sorted.toSeq
+    assert(sidecars(rootDriver) === sidecars(rootDist))
+    assert(sidecars(rootDriver).nonEmpty)
+    sidecars(rootDriver).foreach { f =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rootDriver, "snapshots", f))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rootDist, "snapshots", f))
+      assert(java.util.Arrays.equals(a, b), s"$f differs between build paths")
+    }
+    // and the distributed-build set answers membership exactly
+    val seen = new SeenSet(rootDist, spark)
+    assert(seen.filterUnseen(
+      (0L until 80000L).toDF("url_hash")).count() === 10000L)
+  }
+
+  test("filterUnseen plans: the probe is never inferred onto the key-table side") {
+    // InferFiltersFromConstraints could copy the bloom_might_contain
+    // predicate from the anti-join condition onto the KEYS side — at scale
+    // that re-probes every committed key every epoch. Pin the shape: every
+    // probe filter must sit over the frontier (in-memory/local data here),
+    // never over the key table's file scan.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    def probeFiltersOverFiles(df: org.apache.spark.sql.DataFrame): Seq[Filter] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(
+            _.getClass.getSimpleName == "BloomMightContain") &&
+          f.child.collectLeaves().exists(
+            _.getClass.getSimpleName.startsWith("LogicalRelation")) => f
+      }
+    val root = tmpDir("seenshape")
+    val seen = new SeenSet(root, spark)
+    seen.add((0L until 5000L).toDF("url_hash"))
+    val lazyBad = probeFiltersOverFiles(
+      seen.filterUnseen((0L until 10000L).toDF("url_hash")))
+    assert(lazyBad.isEmpty,
+      s"probe filter inferred over the key table's file scan:\n${lazyBad.mkString("\n")}")
+    val frontier = (0L until 10000L).toDF("url_hash").persist()
+    try {
+      val pruned = seen.filterUnseenPersisted(frontier)
+      // sanity: the pruned plan DOES carry probe filters (over the frontier)
+      val all = pruned.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(
+          _.getClass.getSimpleName == "BloomMightContain") => f
+      }
+      assert(all.nonEmpty, "expected the maybes probe filter in the pruned plan")
+      val bad = probeFiltersOverFiles(pruned)
+      assert(bad.isEmpty,
+        s"probe filter inferred over the key table's file scan:\n${bad.mkString("\n")}")
+    } finally frontier.unpersist(blocking = false)
+  }
+
   test("cuckoo probe: executor cache keeps at most two generations per shard") {
     import spark.implicits._
     val root = tmpDir("seengen")
