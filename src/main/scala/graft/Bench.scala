@@ -98,8 +98,13 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // untimed pre-runs: q1_agg warms JVM/codegen so the first query isn't
         // charged for it; q_seen_retract's run builds its memoized state
-        // (input prep) so the timed run measures the probe
-        if (name == "q1_agg" || name == "q_seen_retract")
+        // (input prep) so the timed run measures the probe.
+        // SPARK_GRAFT_PRERUN=a,b,c is a diagnostic knob: pre-run the named
+        // queries untimed to separate one-off costs (janino compile, state
+        // setup) from per-row cost in a window-matched way.
+        val preruns = sys.env.get("SPARK_GRAFT_PRERUN")
+          .map(_.split(",").toSet).getOrElse(Set.empty[String])
+        if (name == "q1_agg" || name == "q_seen_retract" || preruns(name))
           try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => }
         val (_, secs) = time {
           try fn(spark, sfDir).count()

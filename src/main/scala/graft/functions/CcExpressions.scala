@@ -77,7 +77,8 @@ object CcKernels {
     if (!containsCcGate(html)) // no CC marker: empty licenses, no parse error
       return InternalRow(new GenericArrayData(Array.empty[Any]), false)
     try {
-      val licenses = LicenseFinder.findCcLicensesInHtml(html.toString, contextNumChars)
+      val licenses = LicenseFinder.findCcLicensesInHtml(html.toString,
+        contextNumChars, preGated = true)
       val rows = licenses.map { l =>
         InternalRow(
           UTF8String.fromString(l.abbr),

@@ -234,12 +234,18 @@ object LicenseFinder {
     * @throws HtmlParseException for inputs that resemble a bare URL/filename
     *         (the MarkupResemblesLocatorWarning→error path, `:191-195`)
     */
-  def findCcLicensesInHtml(html: String, contextNumChars: Int = 150): List[CcLicense] = {
+  def findCcLicensesInHtml(html: String, contextNumChars: Int = 150,
+      preGated: Boolean = false): List[CcLicense] = {
     // Cheap gate before any parsing (`:184-187`) — also the explicit upstream
     // filter CCTextFilter (SURVEY §2.4 F2) so plans keep it ahead of this
     // call. Allocation-free case-insensitive scan: this runs on EVERY page
-    // and a full toLowerCase would copy ~1 KB per document.
-    if (!containsIgnoreCaseFast(html, CcGateNeedle)) return Nil
+    // and a full toLowerCase would copy ~1 KB per document. Callers that
+    // already ran the byte-level gate (`CcKernels.containsCcGate`, same
+    // ASCII fold over the same needle) pass `preGated = true` and skip the
+    // redundant re-scan (measured negligible on the synthetic corpus, where
+    // licenses sit near the head — it matters when the first marker is deep
+    // in a large page).
+    if (!preGated && !containsIgnoreCaseFast(html, CcGateNeedle)) return Nil
 
     val trimmed = html.trim
     if (!trimmed.contains('<') &&
