@@ -115,8 +115,11 @@ object Bench {
 
     // raw-CPU ceiling, measured immediately BEFORE the crawl section (and
     // again after it, below): bounds what any 8→32 scaling number can mean
-    // in this window
-    val selfNormPre = !sys.env.get("SPARK_GRAFT_SELFNORM").contains("0")
+    // in this window. SPARK_GRAFT_SELFNORM: 1 (default, probes + repeat +
+    // sustained) | ceiling (probes only — matched-pair runs, where the
+    // extra epochs would stretch the pair) | 0 (nothing).
+    val selfNormMode = sys.env.getOrElse("SPARK_GRAFT_SELFNORM", "1")
+    val selfNormPre = selfNormMode != "0"
     val preProbe = if (selfNormPre) Some(ceilingProbe(cpus.toInt)) else None
 
     // --- crawl epoch throughput (URLs scheduled+fetched/sec) -----------------
@@ -197,13 +200,14 @@ object Bench {
     //               a continuously-draining frontier, which single-epoch
     //               numbers under-represent by the pipelining overlap).
     //   ceiling   — the raw-CPU probe, once before the crawl and once after.
-    val selfNorm = !sys.env.get("SPARK_GRAFT_SELFNORM").contains("0")
+    val selfNorm = selfNormMode != "0"
+    val fullNorm = selfNorm && selfNormMode != "ceiling"
     def freshRoot(): String =
       if (shmBase != null) Files.createTempDirectory(
         java.nio.file.Paths.get(shmBase), "bench-crawl").toString
       else Files.createTempDirectory("bench-crawl").toString
     val extraRoots = scala.collection.mutable.ArrayBuffer[String]()
-    val repeatJson = if (selfNorm) {
+    val repeatJson = if (fullNorm) {
       val r2 = freshRoot(); extraRoots += r2
       CrawlEpoch.seed(r2, spark, seeds)
       val (m, sec) = time {
@@ -212,7 +216,7 @@ object Bench {
       }
       f""","repeat":{"sec":$sec%.2f,"scheduled":${m.scheduled},"urls_per_sec":${m.scheduled / sec}%.1f}"""
     } else ""
-    val sustainedJson = if (selfNorm && nEpochs == 1) {
+    val sustainedJson = if (fullNorm && nEpochs == 1) {
       val r3 = freshRoot(); extraRoots += r3
       CrawlEpoch.seed(r3, spark, seeds)
       val t0 = System.nanoTime()
