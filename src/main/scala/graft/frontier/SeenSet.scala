@@ -134,21 +134,20 @@ final class SeenSet(root: String, spark: SparkSession,
   }
 
   /** Build + write the sharded cuckoo sidecar for tombstone snapshot `tid`.
-    * Large sets (beyond [[SeenSet.cuckooDriverBuildMax]]) build fully
-    * distributed — one executor task per shard, only serialized filters
-    * reach the driver; small sets (the episodic-retraction common case)
-    * skip the job overhead and build on the driver from a BOUNDED collect.
-    * Both paths sort keys within each shard first, so the sidecar bytes are
-    * identical whichever path ran. */
+    * Large sets (beyond [[SeenSet.cuckooDriverBuildMax]]) build AND WRITE
+    * fully on executors — one task per shard, nothing filter-sized reaches
+    * the driver; small sets (the episodic-retraction common case) skip the
+    * job overhead and build on the driver from a BOUNDED collect. Both
+    * paths sort keys within each shard first, so the sidecar bytes are
+    * identical whichever path ran (spec-asserted at file level). */
   private def writeCuckoo(tid: Long): Unit = {
     val total = tombTable.manifest(tid).map(_.get("row_count").asLong).getOrElse(0L)
     val keysDf = tombTable.readAt(tid).select(col("url_hash"))
-    val blobs =
-      if (total <= SeenSet.cuckooDriverBuildMax(spark)) {
-        import spark.implicits._
-        SeenSet.buildCuckooShardsLocal(keysDf.as[Long].collect(), total)
-      } else SeenSet.buildCuckooShards(keysDf, total)
-    SeenSet.writeCuckooShardFiles(tombRoot, tid, blobs)
+    if (total <= SeenSet.cuckooDriverBuildMax(spark)) {
+      import spark.implicits._
+      SeenSet.writeCuckooShardFiles(tombRoot, tid,
+        SeenSet.buildCuckooShardsLocal(keysDf.as[Long].collect(), total))
+    } else SeenSet.buildWriteCuckooShards(tombRoot, tid, keysDf, total)
   }
 
   /** Re-adding a retracted key clears its tombstone: the exact set shrinks
@@ -178,15 +177,16 @@ final class SeenSet(root: String, spark: SparkSession,
         Map("cleared" -> nReAdded.toString))
       if (SeenSet.cuckooShardsPresent(tombRoot, oldTid.get)) {
         // small old filter + small deletion set: edit on the driver (bounded
-        // reads); otherwise one executor task per affected shard
-        val edited =
-          if (oldCount <= SeenSet.cuckooDriverBuildMax(spark)) {
-            import spark.implicits._
+        // reads); otherwise one executor task per shard, edits and carry-
+        // overs written by the tasks themselves — end-to-end off-driver
+        if (oldCount <= SeenSet.cuckooDriverBuildMax(spark)) {
+          import spark.implicits._
+          SeenSet.writeCuckooShardFiles(tombRoot, newTid,
             SeenSet.deleteFromCuckooShardsLocal(tombRoot, oldTid.get,
-              reAdded.as[Long].collect())
-          } else SeenSet.deleteFromCuckooShards(tombRoot, oldTid.get, reAdded)
-        SeenSet.writeCuckooShardFiles(tombRoot, newTid, edited,
-          carryOverFrom = Some(oldTid.get))
+              reAdded.as[Long].collect()),
+            carryOverFrom = Some(oldTid.get))
+        } else SeenSet.deleteWriteCuckooShards(tombRoot, oldTid.get, newTid,
+          reAdded)
       } else writeCuckoo(newTid)
     } finally reAdded.unpersist(blocking = false)
   }
@@ -541,21 +541,25 @@ object SeenSet {
   private def perShardCapacity(total: Long): Long =
     math.max(64L, 2L * total / ShardCount)
 
-  /** Build all [[ShardCount]] cuckoo shards over `keys` (column `url_hash`)
-    * on EXECUTORS: one task per shard; only serialized filters travel to
-    * the driver. */
-  private[graft] def buildCuckooShards(keysDf: DataFrame, total: Long): Array[Array[Byte]] = {
+  /** Build AND WRITE all [[ShardCount]] cuckoo shard sidecars for tombstone
+    * snapshot `tid` on EXECUTORS: one task per shard builds its filter
+    * (sorted inserts — parallelism-independent bytes) and writes its own
+    * sidecar file atomically, the same write pattern as the Bloom
+    * [[buildWriteShards]]. Nothing filter-sized reaches the driver — a
+    * mostly-failed epoch at 10^10-URL scale retracts ~10^8 keys, whose 16
+    * serialized filters would otherwise all pass through the driver. */
+  private[graft] def buildWriteCuckooShards(root: String, tid: Long,
+      keysDf: DataFrame, total: Long): Unit = {
     import keysDf.sparkSession.implicits._
     val perShard = perShardCapacity(total)
-    val parts = keysDf.select(col("url_hash")).as[Long].rdd
+    keysDf.select(col("url_hash")).as[Long].rdd
       .map(h => (shardOf(h), h))
       .partitionBy(new ShardPartitioner)
       .mapPartitionsWithIndex { (shard, it) =>
-        Iterator((shard, buildShardFilter(it.map(_._2).toArray, perShard)))
+        writeOneCuckooShard(root, tid, shard,
+          buildShardFilter(it.map(_._2).toArray, perShard))
+        Iterator.single(shard)
       }.collect()
-    val out = new Array[Array[Byte]](ShardCount)
-    parts.foreach { case (s, b) => out(s) = b }
-    out
   }
 
   /** Driver-side twin of [[buildCuckooShards]] for bounded key sets —
@@ -581,20 +585,37 @@ object SeenSet {
     cf.serialize()
   }
 
-  private[graft] def deleteFromCuckooShards(root: String, oldId: Long,
-      delKeys: DataFrame): Array[Array[Byte]] = {
+  /** Per-shard in-place deletion, executor-side end to end: shards with
+    * deletions are read/edited/re-written by their own task; untouched
+    * shards carry the old generation's bytes over verbatim. */
+  private[graft] def deleteWriteCuckooShards(root: String, oldId: Long,
+      newId: Long, delKeys: DataFrame): Unit = {
     import delKeys.sparkSession.implicits._
-    val parts = delKeys.select(col("url_hash")).as[Long].rdd
+    delKeys.select(col("url_hash")).as[Long].rdd
       .map(h => (shardOf(h), h))
       .partitionBy(new ShardPartitioner)
       .mapPartitionsWithIndex { (shard, it) =>
         val keys = it.map(_._2).toArray
-        if (keys.isEmpty) Iterator.empty
-        else Iterator((shard, deleteFromShardFile(root, oldId, shard, keys)))
+        val payload =
+          if (keys.isEmpty) Files.readAllBytes(cuckooShardPath(root, oldId, shard))
+          else deleteFromShardFile(root, oldId, shard, keys)
+        writeOneCuckooShard(root, newId, shard, payload)
+        Iterator.single(shard)
       }.collect()
-    val out = new Array[Array[Byte]](ShardCount)
-    parts.foreach { case (s, b) => out(s) = b }
-    out
+  }
+
+  /** Atomic single-shard cuckoo write; tmp uniquified per task attempt so a
+    * speculative duplicate cannot race another attempt's tmp. */
+  private def writeOneCuckooShard(root: String, id: Long, shard: Int,
+      payload: Array[Byte]): Unit = {
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s".a${tc.taskAttemptId()}").getOrElse("")
+    val dest = cuckooShardPath(root, id, shard)
+    val tmp = Paths.get(root, "snapshots", s"cuckoo-v$id-s$shard.bin$attempt.tmp")
+    Files.createDirectories(dest.getParent)
+    Files.write(tmp, payload)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Driver-side twin of [[deleteFromCuckooShards]] for bounded deletion

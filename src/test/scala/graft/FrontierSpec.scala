@@ -315,14 +315,42 @@ class FrontierSpec extends SparkSpecBase {
     assert(seen.liveKeys().count() === 700000L)
   }
 
-  test("cuckoo shard builds: driver and executor paths produce identical bytes") {
+  test("cuckoo shard builds: driver and executor paths write identical sidecar bytes") {
     import spark.implicits._
-    val keys = (0L until 50000L).map(graft.functions.TextHashing.splitmix64).toArray
-    val local = SeenSet.buildCuckooShardsLocal(keys.clone(), keys.length.toLong)
-    val dist = SeenSet.buildCuckooShards(keys.toSeq.toDF("url_hash"), keys.length.toLong)
-    (0 until SeenSet.ShardCount).foreach { s =>
-      assert(java.util.Arrays.equals(local(s), dist(s)), s"shard $s bytes differ")
+    // same retract + partial re-add lifecycle under each build path (driver
+    // fast path vs per-shard executor tasks, including the in-place edit and
+    // the untouched-shard carry-over); keys are sorted within each shard on
+    // both paths, so the written files must match byte-for-byte
+    def buildWith(driverMax: String): String = {
+      val root = tmpDir("seencuckoo")
+      spark.conf.set("graft.cuckooDriverMax", driverMax)
+      try {
+        val seen = new SeenSet(root, spark)
+        seen.add((0L until 60000L).toDF("url_hash"))
+        seen.retract((0L until 50000L).toDF("url_hash"))
+        seen.add((10000L until 20000L).toDF("url_hash")) // clears a subset
+        root
+      } finally spark.conf.unset("graft.cuckooDriverMax")
     }
+    val rootDriver = buildWith("1000000")
+    val rootDist = buildWith("0")
+    def sidecars(root: String): Seq[String] =
+      new java.io.File(s"$root/tombstones/snapshots").listFiles
+        .filter(_.getName.startsWith("cuckoo-v")).map(_.getName).sorted.toSeq
+    assert(sidecars(rootDriver) === sidecars(rootDist))
+    assert(sidecars(rootDriver).nonEmpty)
+    sidecars(rootDriver).foreach { f =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rootDriver, "tombstones", "snapshots", f))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rootDist, "tombstones", "snapshots", f))
+      assert(java.util.Arrays.equals(a, b), s"$f differs between build paths")
+    }
+    // distributed-path membership stays exact after the lifecycle
+    val seen = new SeenSet(rootDist, spark)
+    // unseen = retracted-and-not-readded = [0,10000) ∪ [20000,50000)
+    assert(seen.filterUnseen(
+      (0L until 60000L).toDF("url_hash")).count() === 40000L)
   }
 
   test("bloom shard builds: driver and executor paths write identical sidecar bytes") {
