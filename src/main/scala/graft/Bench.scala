@@ -26,7 +26,13 @@ object Bench {
     * host load. A bench run whose probe shows a collapsed ceiling (≪2.5×)
     * documents, in the artifact itself, that its absolute times ran in a
     * degraded window; cross-round comparisons normalize against it. */
-  private def ceilingProbe(cpus: Int): (Double, Double) = {
+  /** Returns (baseThreads, tBase, tN). The baseline is min(8, cpus/4·…):
+    * with cpus < 8 an 8-thread baseline would OVERSUBSCRIBE the host and
+    * read a nonsense super-linear "efficiency"; cpus ≤ baseline skips the
+    * probe entirely (nothing to compare). */
+  private def ceilingProbe(cpus: Int): Option[(Int, Double, Double)] = {
+    val base = if (cpus >= 8) 8 else math.max(1, cpus / 4)
+    if (cpus <= base) return None
     val tasks = 64
     val iters = 100000000L
     def work(seed: Long): Long = {
@@ -52,7 +58,8 @@ object Bench {
     runAt(cpus) // JIT warmup, untimed
     // min of 2 per level: a single sample is contaminated by whatever
     // background work (GC, task cleanup) the JVM still has in flight
-    (Seq(runAt(8), runAt(8)).min, Seq(runAt(cpus), runAt(cpus)).min)
+    Some((base, Seq(runAt(base), runAt(base)).min,
+      Seq(runAt(cpus), runAt(cpus)).min))
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,17 +102,17 @@ object Bench {
     }
 
     // --- operator query timings ---------------------------------------------
+    // SPARK_GRAFT_PRERUN=a,b,c is a diagnostic knob: pre-run the named
+    // queries untimed to separate one-off costs (janino compile, state
+    // setup) from per-row cost in a window-matched way.
+    val preruns = sys.env.get("SPARK_GRAFT_PRERUN")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val queryTimes: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // untimed pre-runs: q1_agg warms JVM/codegen so the first query isn't
         // charged for it; q_seen_retract's run builds its memoized state
         // (input prep) so the timed run measures the probe.
-        // SPARK_GRAFT_PRERUN=a,b,c is a diagnostic knob: pre-run the named
-        // queries untimed to separate one-off costs (janino compile, state
-        // setup) from per-row cost in a window-matched way.
-        val preruns = sys.env.get("SPARK_GRAFT_PRERUN")
-          .map(_.split(",").toSet).getOrElse(Set.empty[String])
         if (name == "q1_agg" || name == "q_seen_retract" || preruns(name))
           try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => }
         val (_, secs) = time {
@@ -122,7 +129,7 @@ object Bench {
     // extra epochs would stretch the pair) | 0 (nothing).
     val selfNormMode = sys.env.getOrElse("SPARK_GRAFT_SELFNORM", "1")
     val selfNormPre = selfNormMode != "0"
-    val preProbe = if (selfNormPre) Some(ceilingProbe(cpus.toInt)) else None
+    val preProbe = if (selfNormPre) ceilingProbe(cpus.toInt) else None
 
     // --- crawl epoch throughput (URLs scheduled+fetched/sec) -----------------
     val sfFactor = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
@@ -131,10 +138,11 @@ object Bench {
       .getOrElse(math.max(2000L, (4000000 * sfFactor).toLong))
     val nImages = math.max(500L,
       nPages / sys.env.getOrElse("SPARK_GRAFT_IMG_DIV", "10").toLong)
-    val root =
+    def freshRoot(): String =
       if (shmBase != null) Files.createTempDirectory(
         java.nio.file.Paths.get(shmBase), "bench-crawl").toString
       else Files.createTempDirectory("bench-crawl").toString
+    val root = freshRoot()
     // The corpus is INPUT (a stand-in for remote content + a fetched image
     // store): materialize it before the timer so the measured number is
     // engine throughput, not synthetic-HTML generation. Corpora past ~4M
@@ -204,10 +212,6 @@ object Bench {
     //   ceiling   — the raw-CPU probe, once before the crawl and once after.
     val selfNorm = selfNormMode != "0"
     val fullNorm = selfNorm && selfNormMode != "ceiling"
-    def freshRoot(): String =
-      if (shmBase != null) Files.createTempDirectory(
-        java.nio.file.Paths.get(shmBase), "bench-crawl").toString
-      else Files.createTempDirectory("bench-crawl").toString
     val extraRoots = scala.collection.mutable.ArrayBuffer[String]()
     val repeatJson = if (fullNorm) {
       val r2 = freshRoot(); extraRoots += r2
@@ -237,14 +241,15 @@ object Bench {
     // still drains task-cleanup/GC work reads a contaminated baseline (one
     // observed sample: t8 8.0 s vs the true ~1.5 s, "efficiency" 1.20)
     spark.stop()
-    val postProbe = if (selfNorm) Some(ceilingProbe(cpus.toInt)) else None
-    def probeJson(p: Option[(Double, Double)]): String = p.map { case (t8, tN) =>
-      val speedup = t8 / tN
-      f"""{"t8_sec":$t8%.2f,"tN_sec":$tN%.2f,"speedup":$speedup%.2f,"efficiency":${speedup / (cpus.toInt / 8.0)}%.2f}"""
-    }.getOrElse("null")
+    val postProbe = if (selfNorm) ceilingProbe(cpus.toInt) else None
+    def probeJson(p: Option[(Int, Double, Double)]): String =
+      p.map { case (base, tBase, tN) =>
+        val speedup = tBase / tN
+        f"""{"base_threads":$base,"t8_sec":$tBase%.2f,"tN_sec":$tN%.2f,"speedup":$speedup%.2f,"efficiency":${speedup / (cpus.toDouble / base)}%.2f}"""
+      }.getOrElse("null")
     val ceilingJson =
       if (selfNorm)
-        s""","ceiling":{"probe":"64 equal xorshift tasks, fixed pool of 8 vs $cpus threads","pre":${probeJson(preProbe)},"post":${probeJson(postProbe)}}"""
+        s""","ceiling":{"probe":"64 equal xorshift tasks, fixed pool of base vs $cpus threads","pre":${probeJson(preProbe)},"post":${probeJson(postProbe)}}"""
       else ""
 
     val totalQuerySecs = queryTimes.map(_._2).sum

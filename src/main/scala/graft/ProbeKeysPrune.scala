@@ -75,7 +75,9 @@ object ProbeKeysPrune {
     run("prune ON ", Long.MaxValue.toString)
     run("prune OFF", "0")
     spark.stop()
-    shm.foreach { p =>
+    // always reclaim the probe's seen-set state — with or without /dev/shm
+    // (a 12M-key snapshot table per run would otherwise accumulate in /tmp)
+    (shm.toSeq :+ java.nio.file.Paths.get(root)).foreach { p =>
       import scala.jdk.CollectionConverters._
       try Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(q => Files.deleteIfExists(q))

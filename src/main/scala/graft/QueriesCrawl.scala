@@ -114,6 +114,14 @@ object CrawlQueries {
       s"graft-qsr-$dirTag-" +
         Integer.toHexString(sourceFingerprint(dir).hashCode))
     val marker = root.resolve("_state_ok")
+    // Liveness touch: a directory's mtime freezes once its entries stop
+    // changing, while a long-lived process keeps READING the state — so
+    // every use advances the root's mtime to keep the sibling-GC's
+    // idle-age gate honest (reads alone would let a live root look idle).
+    if (java.nio.file.Files.exists(root))
+      try java.nio.file.Files.setLastModifiedTime(root,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: Exception => () }
     if (!markerCurrent(marker, dir)) {
       // GC state roots from PREVIOUS fingerprints of this dir (regenerated
       // source data): each would otherwise orphan a full seen-set state in

@@ -99,6 +99,16 @@ object CrawlEpoch {
       epoch: Long,
       linkPriorityDecay: Double = 0.8): RunningEpoch = {
     GraftFunctions.register(spark)
+    // Batch crawl epochs prefer late success over spurious broadcast aborts:
+    // every broadcast here is threshold-gated in ROWS (robots, schedule,
+    // maybes, tombstones), but a broadcast whose input subplan is the FIRST
+    // materializer of a cold cache (the keys-side prune's maybes over the
+    // just-persisted frontier, when the gating count was skipped) runs the
+    // whole upstream under spark.sql.broadcastTimeout — 300 s default, a
+    // flaky failure mode in a degraded I/O window. Raise it once, only when
+    // the session still carries the default.
+    if (spark.conf.get("spark.sql.broadcastTimeout", "300") == "300")
+      spark.conf.set("spark.sql.broadcastTimeout", "3600")
     val frontier = frontierTable(stateRoot, spark)
     val seen = new SeenSet(s"$stateRoot/seen", spark)
     val schedTable = new SnapshotTable(s"$stateRoot/scheduled", spark)

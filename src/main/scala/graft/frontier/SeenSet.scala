@@ -562,7 +562,7 @@ object SeenSet {
       }.collect()
   }
 
-  /** Driver-side twin of [[buildCuckooShards]] for bounded key sets —
+  /** Driver-side twin of [[buildWriteCuckooShards]] for bounded key sets —
     * byte-identical output (same per-shard sorted insert order). */
   private[graft] def buildCuckooShardsLocal(keys: Array[Long], total: Long): Array[Array[Byte]] = {
     val perShard = perShardCapacity(total)
@@ -618,7 +618,7 @@ object SeenSet {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Driver-side twin of [[deleteFromCuckooShards]] for bounded deletion
+  /** Driver-side twin of [[deleteWriteCuckooShards]] for bounded deletion
     * sets against a bounded old filter — byte-identical output. */
   private[graft] def deleteFromCuckooShardsLocal(root: String, oldId: Long,
       delKeys: Array[Long]): Array[Array[Byte]] = {
