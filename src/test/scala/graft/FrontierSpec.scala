@@ -207,12 +207,22 @@ class FrontierSpec extends SparkSpecBase {
       // plan shape that keeps 10^10 keys out of the exchange
       val plan = pruned.queryExecution.executedPlan.toString
       assert(plan.contains("LeftSemi"), s"keys-side prune missing:\n$plan")
+      // count-skip path: a manifest-exact rowBound under the cap proves the
+      // prune safe with NO gating count job — same rows, same pruned shape
+      val bounded = seen.filterUnseenPersisted(frontier, rowBound = 5000L)
+      assert(bounded.as[Long].collect().sorted.toSeq === lazyRows)
+      assert(bounded.queryExecution.executedPlan.toString.contains("LeftSemi"))
       // oversized maybe set: falls back to the unpruned plan, same rows
       spark.conf.set("graft.bcastMaybesMax", "1")
       try {
         val fb = seen.filterUnseenPersisted(frontier)
         assert(fb.as[Long].collect().sorted.toSeq === lazyRows)
         assert(!fb.queryExecution.executedPlan.toString.contains("LeftSemi"))
+        // a rowBound over the cap must not force the prune either — the
+        // count job runs and the oversized maybes still fall back
+        val fb2 = seen.filterUnseenPersisted(frontier, rowBound = 5000L)
+        assert(fb2.as[Long].collect().sorted.toSeq === lazyRows)
+        assert(!fb2.queryExecution.executedPlan.toString.contains("LeftSemi"))
       } finally spark.conf.unset("graft.bcastMaybesMax")
     } finally frontier.unpersist(blocking = false)
   }
