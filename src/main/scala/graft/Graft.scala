@@ -29,7 +29,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Graft {
 
-  /** Register the 20 graft expressions on an existing session (idempotent). */
+  /** Register the graft expression library on an existing session
+    * (idempotent; see [[graft.functions.GraftFunctions]] for the list). */
   def init(spark: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.register(spark)
     spark
