@@ -20,16 +20,17 @@ object Bench {
 
   /** In-JVM raw-CPU ceiling probe (the BASELINE.md discipline, now INSIDE the
     * judged artifact): 64 equal pure-integer xorshift tasks on a fixed pool of
-    * 8 vs `cpus` threads. The measured speedup is the HARDWARE's effective
+    * base vs `cpus` threads. The measured speedup is the HARDWARE's effective
     * parallelism in this window — on this host the 4th vCPU quartile is
     * SMT/oversubscribed, so ~2.6-3.3× for 4× threads is normal and varies with
     * host load. A bench run whose probe shows a collapsed ceiling (≪2.5×)
     * documents, in the artifact itself, that its absolute times ran in a
-    * degraded window; cross-round comparisons normalize against it. */
-  /** Returns (baseThreads, tBase, tN). The baseline is min(8, cpus/4·…):
-    * with cpus < 8 an 8-thread baseline would OVERSUBSCRIBE the host and
-    * read a nonsense super-linear "efficiency"; cpus ≤ baseline skips the
-    * probe entirely (nothing to compare). */
+    * degraded window; cross-round comparisons normalize against it.
+    *
+    * Returns (baseThreads, tBase, tN). The baseline clamps to the available
+    * threads: with cpus < 8 an 8-thread baseline would OVERSUBSCRIBE the
+    * host and read a nonsense super-linear "efficiency"; cpus ≤ baseline
+    * skips the probe entirely (nothing to compare). */
   private def ceilingProbe(cpus: Int): Option[(Int, Double, Double)] = {
     val base = if (cpus >= 8) 8 else math.max(1, cpus / 4)
     if (cpus <= base) return None
@@ -94,6 +95,24 @@ object Bench {
       else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // SPARK_GRAFT_JOBSTATS=1: per-job wall times labeled by the epoch+stage
+    // job groups CrawlEpoch sets — the attribution map for the per-epoch
+    // serial-floor work (which stage launches which jobs, and what each
+    // costs at tiny epochs).
+    if (sys.env.get("SPARK_GRAFT_JOBSTATS").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val grp = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("-")
+          starts.put(js.jobId, (grp, System.nanoTime()))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(starts.remove(je.jobId)).foreach { case (grp, s) =>
+            System.err.println(
+              f"[jobstats] $grp%-18s job ${je.jobId}%4d ${(System.nanoTime() - s) / 1e9}%7.3f s")
+          }
+      })
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -142,6 +161,7 @@ object Bench {
       if (shmBase != null) Files.createTempDirectory(
         java.nio.file.Paths.get(shmBase), "bench-crawl").toString
       else Files.createTempDirectory("bench-crawl").toString
+    val extraRoots = scala.collection.mutable.ArrayBuffer[String]()
     val root = freshRoot()
     // The corpus is INPUT (a stand-in for remote content + a fetched image
     // store): materialize it before the timer so the measured number is
@@ -152,8 +172,24 @@ object Bench {
     val corpusLevel =
       if (nPages > 4000000L) org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pages = SyntheticCorpus.pages(spark, nPages).persist(corpusLevel)
-    pages.count()
+    // SPARK_GRAFT_PAGESTORE=1: lay the corpus out as a bucketed PageStore
+    // (untimed input prep, like the corpus persist it replaces) and run the
+    // epochs against it — fetch/link scans then prune to the schedule's
+    // buckets, the 100 TB store shape. Default stays the cached-DataFrame
+    // corpus for cross-round comparability.
+    val useStore = sys.env.get("SPARK_GRAFT_PAGESTORE").contains("1")
+    val pagesRaw = SyntheticCorpus.pages(spark, nPages)
+    val pageStore: Option[String] =
+      if (useStore) {
+        val p = freshRoot() + "-pagestore"
+        val nBuckets = sys.env.getOrElse("SPARK_GRAFT_PAGESTORE_BUCKETS", "256").toInt
+        graft.crawl.PageStore.write(pagesRaw, p, nBuckets)
+        extraRoots += p
+        Some(p)
+      } else None
+    val pages =
+      if (useStore) pagesRaw // unused by the epochs; skip the cache
+      else { val c = pagesRaw.persist(corpusLevel); c.count(); c }
     val images = SyntheticCorpus.images(spark, nImages).persist(corpusLevel)
     val nImagesReal = images.count()
     val seeds = SyntheticCorpus.seedUrls(spark, nPages * 2, pageCount = nPages)
@@ -177,7 +213,7 @@ object Bench {
         val handles = (1 to nEpochs).map { e =>
           time {
             CrawlEpoch.start(root, spark, pages, images, Some(robots),
-              budgetPerHost = budget, epoch = e)
+              budgetPerHost = budget, epoch = e, pageStore = pageStore)
           }
         }
         val ms = handles.map { case (h, s) => (CrawlEpoch.finish(h), s) }
@@ -186,7 +222,7 @@ object Bench {
         val rs = (1 to nEpochs).map { e =>
           time {
             CrawlEpoch.run(root, spark, pages, images, Some(robots),
-              budgetPerHost = budget, epoch = e)
+              budgetPerHost = budget, epoch = e, pageStore = pageStore)
           }
         }
         (rs, rs.map(_._2).sum)
@@ -212,13 +248,12 @@ object Bench {
     //   ceiling   — the raw-CPU probe, once before the crawl and once after.
     val selfNorm = selfNormMode != "0"
     val fullNorm = selfNorm && selfNormMode != "ceiling"
-    val extraRoots = scala.collection.mutable.ArrayBuffer[String]()
     val repeatJson = if (fullNorm) {
       val r2 = freshRoot(); extraRoots += r2
       CrawlEpoch.seed(r2, spark, seeds)
       val (m, sec) = time {
         CrawlEpoch.run(r2, spark, pages, images, Some(robots),
-          budgetPerHost = budget, epoch = 1)
+          budgetPerHost = budget, epoch = 1, pageStore = pageStore)
       }
       f""","repeat":{"sec":$sec%.2f,"scheduled":${m.scheduled},"urls_per_sec":${m.scheduled / sec}%.1f}"""
     } else ""
@@ -228,7 +263,7 @@ object Bench {
       val t0 = System.nanoTime()
       val handles = (1 to 3).map { e =>
         CrawlEpoch.start(r3, spark, pages, images, Some(robots),
-          budgetPerHost = budget, epoch = e)
+          budgetPerHost = budget, epoch = e, pageStore = pageStore)
       }
       val ms = handles.map(CrawlEpoch.finish)
       val sec = (System.nanoTime() - t0) / 1e9

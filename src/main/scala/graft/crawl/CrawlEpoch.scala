@@ -74,9 +74,10 @@ object CrawlEpoch {
       robots: Option[DataFrame],
       budgetPerHost: Int,
       epoch: Long,
-      linkPriorityDecay: Double = 0.8): EpochMetrics =
+      linkPriorityDecay: Double = 0.8,
+      pageStore: Option[String] = None): EpochMetrics =
     finish(start(stateRoot, spark, pages, images, robots, budgetPerHost,
-      epoch, linkPriorityDecay))
+      epoch, linkPriorityDecay, pageStore))
 
   /** PIPELINED epoch entry: returns once the crawl-STATE stages (robots
     * cache, schedule, seen set, next frontier) are committed — everything
@@ -89,6 +90,11 @@ object CrawlEpoch {
     * manifest lineage, and the out table's `current` pointer never regresses
     * to an older epoch (a late-landing earlier epoch is recorded but does not
     * steal the pointer), so plain readers always see the newest epoch. */
+  /** @param pageStore path of a [[PageStore]]-bucketed corpus layout; when
+    *        given, the fetch/link corpus scans read the store PRUNED to the
+    *        schedule's hash buckets instead of scanning `pages` — the
+    *        scan-∝-schedule shape a 100 TB store requires. `pages` is then
+    *        ignored by this epoch. */
   def start(
       stateRoot: String,
       spark: SparkSession,
@@ -97,7 +103,8 @@ object CrawlEpoch {
       robots: Option[DataFrame],
       budgetPerHost: Int,
       epoch: Long,
-      linkPriorityDecay: Double = 0.8): RunningEpoch = {
+      linkPriorityDecay: Double = 0.8,
+      pageStore: Option[String] = None): RunningEpoch = {
     GraftFunctions.register(spark)
     // Batch crawl epochs prefer late success over spurious broadcast aborts:
     // every broadcast here is threshold-gated in ROWS (robots, schedule,
@@ -116,7 +123,12 @@ object CrawlEpoch {
 
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      val a = f
+      // Job-group label per stage thread (thread-local in SparkContext):
+      // lets a listener attribute every Spark job to its epoch+stage — the
+      // floor-attack measurement map. Always set (cheap, thread-local);
+      // only a listener (e.g. Bench's SPARK_GRAFT_JOBSTATS=1) consumes it.
+      spark.sparkContext.setJobGroup(s"e$epoch-$name", s"epoch $epoch $name")
+      val a = try f finally spark.sparkContext.clearJobGroup()
       if (sys.env.contains("SPARK_GRAFT_TRACE"))
         System.err.println(f"[epoch $epoch] $name%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       a
@@ -212,17 +224,25 @@ object CrawlEpoch {
     // schedule + static corpus tables — run them as CONCURRENT Spark jobs so
     // the epoch's wall clock is schedule + max(2,3,4), not the sum, and tasks
     // from one stage fill cores the others leave idle.
+    val schedSnap = schedTable.snapshotForLineage("epoch", epoch.toString)
+    val schedRows = schedSnap.flatMap(schedTable.manifest)
+      .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
     // Fetch joins key on the 64-bit url hash instead of the URL string: the
     // epoch's widest shuffle then sorts/hashes longs, not ~40-char strings.
     // Exactness is kept by re-checking string equality after the hash match
     // (a hash collision yields a dropped match, never a wrong one).
-    lazy val pagesHashed = pages
-      .withColumnsRenamed(Map("url" -> "page_url"))
-      .withColumn("page_hash", GraftFunctions.urlHash64(col("page_url")))
-
-    val schedSnap = schedTable.snapshotForLineage("epoch", epoch.toString)
-    val schedRows = schedSnap.flatMap(schedTable.manifest)
-      .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
+    // With a bucketed PageStore, the corpus read is PRUNED to the schedule's
+    // hash buckets (exact: every corpus join keys on page_hash = url_hash,
+    // so matches can only live in the schedule's buckets) — a tail epoch
+    // stops paying full-corpus scans, and at the 100 TB store scale the
+    // fetch I/O is ∝ schedule, not ∝ store.
+    lazy val pagesHashed = pageStore match {
+      case Some(path) =>
+        PageStore.readForSchedule(spark, path, scheduled, schedRows)
+      case None => pages
+        .withColumnsRenamed(Map("url" -> "page_url"))
+        .withColumn("page_hash", GraftFunctions.urlHash64(col("page_url")))
+    }
     val broadcastMax = graft.core.GraftConf.longKnob(spark,
       "graft.bcastSchedMax", "SPARK_GRAFT_BCAST_SCHED_MAX", 4000000L)
     // Schedule-keyed Bloom sidecar for schedules too large to broadcast (the

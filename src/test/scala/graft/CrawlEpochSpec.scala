@@ -298,6 +298,46 @@ class CrawlEpochSpec extends SparkSpecBase {
       s"$rootB/scheduled", "snapshots", s"bloom-v$sid-s0.bin")))
   }
 
+  test("bucketed page store: byte-identical crawl, fetch scan pruned to the schedule's buckets") {
+    import graft.crawl.PageStore
+    val (pages, images, _, robots) = corpus()
+    val seeds = SyntheticCorpus.seedUrls(spark, 300, pageCount = 600) // incl. misses
+    val storePath = Files.createTempDirectory("pagestore").toString
+    PageStore.write(pages, storePath, nBuckets = 16)
+    val rootA = Files.createTempDirectory("crawlDf").toString
+    val rootB = Files.createTempDirectory("crawlStore").toString
+    CrawlEpoch.seed(rootA, spark, seeds)
+    CrawlEpoch.seed(rootB, spark, seeds)
+    val a = CrawlEpoch.run(rootA, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+    val b = CrawlEpoch.run(rootB, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1,
+      pageStore = Some(storePath))
+    assert(a === b, "metrics differ between corpus-frame and page-store paths")
+    assert(outSorted(rootA) === outSorted(rootB), "out rows differ with the page store")
+    // frontier (link re-derivation) also byte-equal
+    def frontierRows(r: String) = CrawlEpoch.frontierTable(r, spark).read()
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(frontierRows(rootA) === frontierRows(rootB))
+
+    // pruning proof: a tiny schedule reads ONLY its buckets' files
+    val sched = new SnapshotTable(s"$rootB/scheduled", spark).read()
+      .limit(5).select(col("url_hash")).cache()
+    try {
+      val n = PageStore.bucketCount(storePath)
+      val wantBuckets = sched
+        .select(PageStore.bucketOf(col("url_hash"), n).as("b"))
+        .collect().map(_.getInt(0)).toSet
+      val filesRead = PageStore.readForSchedule(spark, storePath, sched, schedRows = 5)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(filesRead.nonEmpty)
+      val bucketsRead = filesRead.map { f =>
+        "bucket=([0-9]+)".r.findFirstMatchIn(f).get.group(1).toInt
+      }
+      assert(bucketsRead.subsetOf(wantBuckets),
+        s"read buckets $bucketsRead beyond the schedule's $wantBuckets")
+    } finally sched.unpersist(blocking = false)
+  }
+
   test("expireState between epochs: byte-identical crawl, old state generations gone") {
     val (pages, images, seeds, robots) = corpus()
     val rootA = Files.createTempDirectory("crawlNoExp").toString
