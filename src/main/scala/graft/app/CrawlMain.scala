@@ -32,6 +32,10 @@ object CrawlMain {
     // retry failed fetches after each epoch, bounded per URL (0 = off)
     val retryBudget = opts.getOrElse("--retry-budget", "0").toInt
     val expireKeep = opts.getOrElse("--expire-keep", "0").toInt // 0 = never
+    // lay the corpus out as a bucketed PageStore and run epochs against it
+    // (fetch/link scans prune to the schedule's buckets — the shape for a
+    // store too large to cache); 0 = keep the in-memory corpus frame
+    val storeBuckets = opts.getOrElse("--page-store-buckets", "0").toInt
 
     val spark = SparkSession.builder()
       .appName("graft-crawl")
@@ -47,8 +51,17 @@ object CrawlMain {
     if (!CrawlEpoch.frontierTable(state, spark).exists)
       CrawlEpoch.seed(state, spark, SyntheticCorpus.seedUrls(spark, nSeeds, nPages))
 
+    val pageStore =
+      if (storeBuckets > 0) {
+        val p = s"$state/pagestore"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_graft_buckets")))
+          graft.crawl.PageStore.write(pages, p, storeBuckets)
+        Some(p)
+      } else None
+
     (1 to epochs).foreach { e =>
-      val m = CrawlEpoch.run(state, spark, pages, images, Some(robots), budget, e)
+      val m = CrawlEpoch.run(state, spark, pages, images, Some(robots), budget, e,
+        pageStore = pageStore)
       val requeued =
         if (retryBudget > 0)
           CrawlEpoch.requeueFailures(state, spark, e, retryBudget = retryBudget)
