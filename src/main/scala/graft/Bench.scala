@@ -181,7 +181,7 @@ object Bench {
     val pagesRaw = SyntheticCorpus.pages(spark, nPages)
     val pageStore: Option[String] =
       if (useStore) {
-        val p = freshRoot() + "-pagestore"
+        val p = freshRoot() // the store is written INTO this dir (overwrite)
         val nBuckets = sys.env.getOrElse("SPARK_GRAFT_PAGESTORE_BUCKETS", "256").toInt
         graft.crawl.PageStore.write(pagesRaw, p, nBuckets)
         extraRoots += p
@@ -280,7 +280,7 @@ object Bench {
     def probeJson(p: Option[(Int, Double, Double)]): String =
       p.map { case (base, tBase, tN) =>
         val speedup = tBase / tN
-        f"""{"base_threads":$base,"t8_sec":$tBase%.2f,"tN_sec":$tN%.2f,"speedup":$speedup%.2f,"efficiency":${speedup / (cpus.toDouble / base)}%.2f}"""
+        f"""{"base_threads":$base,"t_base_sec":$tBase%.2f,"tN_sec":$tN%.2f,"speedup":$speedup%.2f,"efficiency":${speedup / (cpus.toDouble / base)}%.2f}"""
       }.getOrElse("null")
     val ceilingJson =
       if (selfNorm)

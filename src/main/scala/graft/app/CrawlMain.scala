@@ -54,8 +54,11 @@ object CrawlMain {
     val pageStore =
       if (storeBuckets > 0) {
         val p = s"$state/pagestore"
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_graft_buckets")))
-          graft.crawl.PageStore.write(pages, p, storeBuckets)
+        // reuse ONLY a store written for this exact corpus + layout: a
+        // stale store silently 404s every page it lacks
+        val fp = s"pages=$nPages"
+        if (!graft.crawl.PageStore.matches(p, storeBuckets, fp))
+          graft.crawl.PageStore.write(pages, p, storeBuckets, fp)
         Some(p)
       } else None
 

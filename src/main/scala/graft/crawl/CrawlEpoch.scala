@@ -112,9 +112,12 @@ object CrawlEpoch {
     // materializer of a cold cache (the keys-side prune's maybes over the
     // just-persisted frontier, when the gating count was skipped) runs the
     // whole upstream under spark.sql.broadcastTimeout — 300 s default, a
-    // flaky failure mode in a degraded I/O window. Raise it once, only when
-    // the session still carries the default.
-    if (spark.conf.get("spark.sql.broadcastTimeout", "300") == "300")
+    // flaky failure mode in a degraded I/O window. Raised once per session,
+    // and ONLY when the user never set the key themselves (getAllConfs
+    // holds explicitly-set entries only — an explicit 300 is respected).
+    // Not restored after the epoch: the out-stage future outlives start(),
+    // and crawl sessions are batch.
+    if (!spark.sessionState.conf.getAllConfs.contains("spark.sql.broadcastTimeout"))
       spark.conf.set("spark.sql.broadcastTimeout", "3600")
     val frontier = frontierTable(stateRoot, spark)
     val seen = new SeenSet(s"$stateRoot/seen", spark)
@@ -127,8 +130,16 @@ object CrawlEpoch {
       // lets a listener attribute every Spark job to its epoch+stage — the
       // floor-attack measurement map. Always set (cheap, thread-local);
       // only a listener (e.g. Bench's SPARK_GRAFT_JOBSTATS=1) consumes it.
-      spark.sparkContext.setJobGroup(s"e$epoch-$name", s"epoch $epoch $name")
-      val a = try f finally spark.sparkContext.clearJobGroup()
+      // The CALLER's group is restored afterwards, not cleared — a caller
+      // wrapping run() in its own job group (e.g. for cancelJobGroup
+      // watchdogs) must keep it on this thread after we return.
+      val sc = spark.sparkContext
+      val prev = Seq("spark.jobGroup.id", "spark.job.description",
+        "spark.job.interruptOnCancel").map(k => k -> sc.getLocalProperty(k))
+      sc.setJobGroup(s"e$epoch-$name", s"epoch $epoch $name")
+      val a =
+        try f
+        finally prev.foreach { case (k, v) => sc.setLocalProperty(k, v) }
       if (sys.env.contains("SPARK_GRAFT_TRACE"))
         System.err.println(f"[epoch $epoch] $name%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       a

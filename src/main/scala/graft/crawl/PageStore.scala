@@ -42,14 +42,32 @@ object PageStore {
 
   private def metaPath(path: String) = Paths.get(path, "_graft_buckets")
 
+  private def metaLines(path: String): Array[String] =
+    new String(Files.readAllBytes(metaPath(path))).split("\n", 2)
+
   /** Number of buckets the store at `path` was written with. */
-  def bucketCount(path: String): Int =
-    new String(Files.readAllBytes(metaPath(path))).trim.toInt
+  def bucketCount(path: String): Int = metaLines(path)(0).trim.toInt
+
+  /** The caller-supplied corpus fingerprint recorded at write time (empty
+    * when none was given). */
+  def storedFingerprint(path: String): String =
+    metaLines(path).lift(1).getOrElse("").trim
+
+  /** True when `path` holds a complete store written with exactly this
+    * bucket count and fingerprint — the reuse gate: a store written for a
+    * different corpus or layout must be rewritten, not silently served
+    * (stale-store reads would 404 every page the old corpus lacked). */
+  def matches(path: String, nBuckets: Int, fingerprint: String): Boolean =
+    Files.exists(metaPath(path)) &&
+      bucketCount(path) == nBuckets && storedFingerprint(path) == fingerprint
 
   /** One-time layout: `pages` (url, html, …) → parquet partitioned by
     * `bucket = url_hash64(url) mod nBuckets`, columns pre-shaped for the
-    * fetch join (`page_url`, `page_hash` — no per-epoch re-hash). */
-  def write(pages: DataFrame, path: String, nBuckets: Int): Unit = {
+    * fetch join (`page_url`, `page_hash` — no per-epoch re-hash).
+    * `fingerprint` is any caller-chosen corpus identity string (row count,
+    * snapshot id…) checked by [[matches]] on reuse. */
+  def write(pages: DataFrame, path: String, nBuckets: Int,
+      fingerprint: String = ""): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     GraftFunctions.register(pages.sparkSession)
     pages
@@ -64,7 +82,7 @@ object PageStore {
       .repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val tmp = Paths.get(path, "_graft_buckets.tmp")
-    Files.write(tmp, nBuckets.toString.getBytes)
+    Files.write(tmp, s"$nBuckets\n$fingerprint".getBytes)
     Files.move(tmp, metaPath(path), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
