@@ -57,6 +57,38 @@ object StreamingOps {
       }
   }
 
+  final case class SeenState(seen: Boolean)
+
+  /** Streaming URL-seen dedup — the [[graft.frontier.SeenSet]] in streaming
+    * form: the FIRST row per `url_hash` across the stream's whole lifetime
+    * is emitted, every later arrival (same batch or any later micro-batch)
+    * is dropped. State is one boolean per key, partitioned by Spark's state
+    * store exactly like the batch seen set shards by url_hash — O(distinct
+    * urls) state total, nothing per duplicate. The batch engine remains
+    * primary (its Bloom-fronted exact set also RETRACTS — streaming state
+    * here is insert-only, matching the Bloom half of the contract); this is
+    * the shape for a continuously-arriving frontier between epoch commits.
+    *
+    * Within one micro-batch the winner is deterministic: the group's
+    * minimum by `(priority DESC, url ASC)` — the scheduler's rank — not
+    * partition arrival order. */
+  def seenDedupStream(frontier: Dataset[FrontierRow])
+      (hashOf: FrontierRow => Long): Dataset[FrontierRow] = {
+    import frontier.sparkSession.implicits._
+    val byRank = Ordering.by[FrontierRow, (Double, String)](r => (-r.priority, r.url))
+    frontier
+      .groupByKey(hashOf)
+      .flatMapGroupsWithState[SeenState, FrontierRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[SeenState]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(SeenState(seen = true))
+            Iterator.single(rows.min(byRank))
+          }
+      }
+  }
+
   /** Watermarked sliding-window counts over an event stream (ts, event_type)
     * — late data beyond the watermark is dropped, state is bounded. */
   def windowedEventCounts(events: DataFrame, windowDur: String,

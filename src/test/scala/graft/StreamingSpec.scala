@@ -37,6 +37,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming seen dedup: first arrival per url_hash wins across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FrontierRow]
+    val deduped = StreamingOps.seenDedupStream(input.toDS())(
+      r => graft.functions.TextHashing.splitmix64(r.url.hashCode.toLong))
+    val q = deduped.writeStream
+      .format("memory").queryName("seen_stream")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: u1 twice (different priorities) + u2 → u1 emitted ONCE with
+      // the better rank, u2 once
+      input.addData(
+        FrontierRow("http://u1", "h", 1.0),
+        FrontierRow("http://u1", "h", 9.0),
+        FrontierRow("http://u2", "h", 2.0))
+      q.processAllAvailable()
+      // batch 2: u1 again (later arrival — dropped), u3 new (emitted)
+      input.addData(
+        FrontierRow("http://u1", "h", 99.0),
+        FrontierRow("http://u3", "h", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("seen_stream").as[FrontierRow].collect()
+      assert(rows.map(_.url).sorted.toSeq ===
+        Seq("http://u1", "http://u2", "http://u3"))
+      // u1's single emission carried the in-batch rank winner (priority 9.0),
+      // and batch 2's 99.0 re-arrival did NOT replace it
+      assert(rows.find(_.url == "http://u1").get.priority === 9.0)
+    } finally q.stop()
+  }
+
   test("politeness stream hot host: bounded heap picks the exact global top-N in rank order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
