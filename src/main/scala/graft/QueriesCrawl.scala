@@ -335,7 +335,59 @@ object CrawlQueries {
       |  CAST(length(text) AS INT) AS content_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- bucketed page-store pruned fetch (PageStore driver gate) --------------
+
+  /** One-time SETUP for [[qPageStore]]: a bucketed [[graft.crawl.PageStore]]
+    * built from `documents` (url = http://docs.example/<doc_id>, html =
+    * text), memoized behind the source-fingerprint marker like the WARC
+    * fixtures. The marker lives NEXT TO the store dir (a parquet overwrite
+    * wipes the target path itself). */
+  private def ensurePageStore(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-pgstore-${Integer.toHexString(dir.hashCode)}-" +
+        Integer.toHexString(sourceFingerprint(dir).hashCode))
+    val marker = root.resolve("_store_ok")
+    if (!markerCurrent(marker, dir)) {
+      java.nio.file.Files.createDirectories(root)
+      val pages = t(s, dir, "documents").select(
+        concat(lit("http://docs.example/"), col("doc_id")).as("url"),
+        col("text").as("html"), col("doc_id"))
+      graft.crawl.PageStore.write(pages, s"$root/store", nBuckets = 64)
+      writeMarker(marker, dir)
+    }
+    s"$root/store"
+  }
+
+  /** Fetch-against-the-store: the schedule (doc_id < 40) reads the bucketed
+    * store PRUNED to its hash buckets and joins on the fetch-join condition
+    * (hash match + exact URL confirm). A wrongly-pruned bucket would LOSE
+    * rows here, so the oracle — the closed-form schedule itself — is a
+    * value-level pruning-exactness gate, complementing the file-level
+    * input_file_name spec in CrawlEpochSpec. */
+  def qPageStore(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val store = ensurePageStore(s, dir)
+    val sched = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(
+        GraftFunctions.urlHash64(
+          concat(lit("http://docs.example/"), col("doc_id"))).as("url_hash"),
+        concat(lit("http://docs.example/"), col("doc_id")).as("canon_url"))
+    val pruned = graft.crawl.PageStore.readForSchedule(s, store, sched,
+      schedRows = 40)
+    pruned.join(sched,
+        pruned("page_hash") === sched("url_hash") &&
+          pruned("page_url") === sched("canon_url"))
+      .select(col("doc_id"), length(col("html")).cast("int").as("content_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPageStoreSql: String =
+    """SELECT doc_id, CAST(length(text) AS INT) AS content_len
+      |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagestore" -> (qPageStore _),
     "q_warc_read" -> (qWarcRead _),
     "q_frontier_schedule" -> (qFrontierSchedule _),
     "q_seen_retract" -> (qSeenRetract _),
@@ -345,6 +397,7 @@ object CrawlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pagestore" -> qPageStoreSql,
     "q_warc_read" -> qWarcReadSql,
     "q_frontier_schedule" -> qFrontierScheduleSql,
     "q_seen_retract" -> qSeenRetractSql,

@@ -3,7 +3,7 @@ package graft.functions
 import graft.image.ImageCodec
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,6 +39,38 @@ object ImageKernels {
     val ref = ImageCodec.pattern(seed, w, h)
     val p = ImageCodec.psnr(ref, img)
     java.lang.Double.valueOf(if (p.isInfinity) 999.0 else p)
+  }
+
+  /** [[ImageFeatureStub]]'s kernel: mean RGB of a dims-cell column stripe —
+    * deterministic, decode-backed; null ⇔ undecodable bytes. */
+  def imageFeatureStub(bytes: Array[Byte], dims: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val img = ImageCodec.decode(bytes)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](dims)
+    var d = 0
+    while (d < dims) {
+      val x0 = d * w / dims
+      val x1 = math.max(x0 + 1, (d + 1) * w / dims)
+      var sum = 0.0
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          n += 3
+          x += 1
+        }
+        y += 1
+      }
+      out(d) = if (n == 0) 0.0 else sum / n / 255.0
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -158,40 +190,20 @@ case class ImageCheck(bytes: Expression, seed: Expression, w: Expression, h: Exp
   * spectrograms, video frame sampling) would sit behind this same expression
   * shape; the container has no media ML libraries, so the feature vector is a
   * deterministic fake derived from the decoded pixels (documented stub, not
-  * a silent one). */
+  * a silent one). Codegen'd like every other kernel (static call into
+  * [[ImageKernels]]) — the expression shape a real feature extractor would
+  * inherit is fully wired, including null-on-undecodable. */
 case class ImageFeatureStub(child: Expression, dims: Int = 8)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true // null <=> undecodable bytes
   override def prettyName: String = "image_feature_stub"
-  override def nullSafeEval(input: Any): Any = {
-    val img = ImageCodec.decode(input.asInstanceOf[Array[Byte]])
-    if (img == null) return null
-    // mean RGB of a dims-cell column stripe — deterministic, decode-backed
-    val w = img.getWidth
-    val h = img.getHeight
-    val out = new Array[Double](dims)
-    var d = 0
-    while (d < dims) {
-      val x0 = d * w / dims
-      val x1 = math.max(x0 + 1, (d + 1) * w / dims)
-      var sum = 0.0
-      var n = 0
-      var y = 0
-      while (y < h) {
-        var x = x0
-        while (x < x1 && x < w) {
-          val p = img.getRGB(x, y)
-          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-          n += 3
-          x += 1
-        }
-        y += 1
-      }
-      out(d) = if (n == 0) 0.0 else sum / n / 255.0
-      d += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ImageKernels.imageFeatureStub(input.asInstanceOf[Array[Byte]], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.functions.ImageKernels.imageFeatureStub($b, $dims);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

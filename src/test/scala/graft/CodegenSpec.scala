@@ -41,9 +41,21 @@ class CodegenSpec extends SparkSpecBase {
           GraftFunctions.imageCheck(col("bytes"), col("id"), lit(16), lit(16)),
           call_function("decode_image_dims", col("bytes")),
           call_function("phash64", col("bytes")),
-          call_function("psnr_vs_pattern", col("bytes"), col("id"), lit(16), lit(16)))
+          call_function("psnr_vs_pattern", col("bytes"), col("id"), lit(16), lit(16)),
+          call_function("image_feature_stub", col("bytes")))
         .count()
       assert(m === 8)
+      // feature stub: null on undecodable bytes, 8 dims in [0,1] otherwise
+      val feats = img.select(
+          call_function("image_feature_stub", col("bytes")).as("f"))
+        .withColumn("bad",
+          call_function("image_feature_stub", lit(Array[Byte](1, 2, 3))))
+        .collect()
+      assert(feats.forall(_.isNullAt(1)))
+      assert(feats.forall { r =>
+        val f = r.getSeq[Double](0)
+        f.length == 8 && f.forall(v => v >= 0.0 && v <= 1.0)
+      })
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 }
