@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   *     retryBudget = 100)                        // per-URL cap, then permanent drop
   *   CrawlEpoch.expireState(root, spark, keepLast = 2)  // storage maintenance
   *
+  *   // corpus too large to cache: bucketed store, fetch scans prune to the
+  *   // schedule's hash buckets (I/O ∝ schedule, not ∝ store)
+  *   graft.crawl.PageStore.write(pages, storePath, nBuckets = 4096)
+  *   CrawlEpoch.run(root, spark, pages, images, Some(robots),
+  *     budgetPerHost = 100, epoch = 1, pageStore = Some(storePath))
+  *
   *   // ANN at corpus scale: bucket once, probe with partition pruning:
   *   import graft.ops.Ann
   *   Ann.ivfWriteBucketed(corpus, path, "id", "embedding", dim = 128, nCells = 256)
