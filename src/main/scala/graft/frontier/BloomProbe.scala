@@ -25,9 +25,30 @@ import org.apache.spark.util.sketch.BloomFilter
   * generations at once cannot clobber each other's entry — a plain put
   * would evict the other loader's generation and thrash re-deserialization
   * per batch. */
-private[frontier] final class TwoGenCache[F] {
+/** @param sizer approximate resident bytes of one cached filter — drives
+  *        the OPTIONAL global byte cap (`SPARK_GRAFT_PROBE_CACHE_MAX`,
+  *        default unbounded = the historical behavior). At a 10^10-key
+  *        seen set the full shard family is ~12 GB; executors whose rows
+  *        probe arbitrary hashes fault in every shard over time, so a
+  *        budget bounds residency at the cost of shard-file RE-READS on
+  *        re-entry (an evicted probe is a cache miss, never a wrong
+  *        answer). Enforcement is insertion-ordered and happens ONLY on
+  *        insert — the per-row hit path stays a single lock-free map read
+  *        with zero bookkeeping. */
+private[frontier] final class TwoGenCache[F](sizer: F => Long = (_: F) => 0L) {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, List[(Long, F)]]()
+  private val insertOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val totalBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test seam; production reads the env knob once. */
+  @volatile private[frontier] var budgetOverride: Option[Long] = None
+  private lazy val envBudget: Long =
+    sys.env.get("SPARK_GRAFT_PROBE_CACHE_MAX").map(_.toLong).getOrElse(Long.MaxValue)
+  private def budget: Long = budgetOverride.getOrElse(envBudget)
+
+  private[frontier] def entryCount: Int = cache.size()
+  private[frontier] def residentBytes: Long = totalBytes.get()
 
   def get(key: String, id: Long)(load: => F): F = {
     val cur = cache.get(key)
@@ -36,11 +57,30 @@ private[frontier] final class TwoGenCache[F] {
       case Some((_, f)) => f
       case None =>
         val f = load
+        val delta = new java.util.concurrent.atomic.AtomicLong(0L)
         val merged = cache.compute(key, (_, prev0) => {
-          val prev = if (prev0 == null) Nil else prev0.filterNot(_._1 == id)
-          ((id, f) :: prev).take(2)
+          val prev = if (prev0 == null) Nil else prev0
+          if (prev0 == null) insertOrder.add(key)
+          val next = ((id, f) :: prev.filterNot(_._1 == id)).take(2)
+          delta.set(next.map(e => sizer(e._2)).sum - prev.map(e => sizer(e._2)).sum)
+          next
         })
+        val total = totalBytes.addAndGet(delta.get())
+        if (total > budget) evictUntilWithin()
         merged.find(_._1 == id).map(_._2).getOrElse(f)
+    }
+  }
+
+  /** Oldest-inserted keys go first until the budget holds; the eviction
+    * loop never blocks the hit path (removals go through the same per-key
+    * compute lock as inserts). */
+  private def evictUntilWithin(): Unit = {
+    while (totalBytes.get() > budget && cache.size() > 1) {
+      val victim = insertOrder.poll()
+      if (victim == null) return
+      val removed = cache.remove(victim)
+      if (removed != null)
+        totalBytes.addAndGet(-removed.map(e => sizer(e._2)).sum)
     }
   }
 }
@@ -49,13 +89,20 @@ private[frontier] final class TwoGenCache[F] {
   * loaded on demand through the shared [[TwoGenCache]]). */
 object BloomProbe {
 
-  private val cache = new TwoGenCache[BloomFilter]
+  private val cache = new TwoGenCache[BloomFilter](bf => bf.bitSize() / 8)
 
   private[graft] def filterFor(root: String, id: Long, shard: Int): BloomFilter =
     cache.get(s"$root#$shard", id) {
       BloomFilter.readFrom(new ByteArrayInputStream(
         Files.readAllBytes(Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin"))))
     }
+
+  // test seams for the byte-cap behavior (production budget comes from the
+  // SPARK_GRAFT_PROBE_CACHE_MAX env knob, read once per executor)
+  private[graft] def setBudgetForTest(b: Option[Long]): Unit =
+    cache.budgetOverride = b
+  private[graft] def cacheStats: (Int, Long) =
+    (cache.entryCount, cache.residentBytes)
 
   /** Static probe entry point for generated code (whole-stage codegen calls
     * this directly — no boxing, no UDF wrapper). */
@@ -164,7 +211,8 @@ case class ConstraintBarrier(child: Expression) extends UnaryExpression {
   * a one-slot cache would re-read a shard file per mismatching row. */
 object CuckooProbe {
 
-  private val cache = new TwoGenCache[CuckooFilter]
+  private val cache = new TwoGenCache[CuckooFilter](
+    cf => cf.nBuckets.toLong * 4 * 2) // 4 Short slots per bucket
 
   private[graft] def filterFor(root: String, id: Long, shard: Int): CuckooFilter =
     cache.get(s"$root#$shard", id) {

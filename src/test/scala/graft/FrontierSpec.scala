@@ -397,6 +397,32 @@ class FrontierSpec extends SparkSpecBase {
       (0L until 80000L).toDF("url_hash")).count() === 10000L)
   }
 
+  test("probe cache byte cap: membership stays exact under eviction, residency bounded") {
+    import spark.implicits._
+    import graft.frontier.BloomProbe
+    // baseline from an uncapped set at one root…
+    val seenA = new SeenSet(tmpDir("seencapA"), spark)
+    seenA.add((0L until 20000L).toDF("url_hash"))
+    val uncapped = seenA.filterUnseen((0L until 40000L).toDF("url_hash"))
+      .as[Long].collect().sorted.toSeq
+    assert(uncapped === (20000L until 40000L).toSeq)
+    // …then a FRESH root probed under a cap far below one shard, so every
+    // shard load triggers eviction (the budget is enforced on insert; the
+    // hit path carries no bookkeeping). Answers must be identical — an
+    // evicted shard is a re-read, never a wrong answer.
+    val seenB = new SeenSet(tmpDir("seencapB"), spark)
+    seenB.add((0L until 20000L).toDF("url_hash"))
+    BloomProbe.setBudgetForTest(Some(1L))
+    try {
+      val capped = seenB.filterUnseen((0L until 40000L).toDF("url_hash"))
+        .as[Long].collect().sorted.toSeq
+      assert(capped === uncapped)
+      val (entries, bytes) = BloomProbe.cacheStats
+      assert(entries <= 1, s"cap must bound resident shards, saw $entries")
+      assert(bytes <= 1L * 1024 * 1024)
+    } finally BloomProbe.setBudgetForTest(None)
+  }
+
   test("filterUnseen plans: the probe is never inferred onto the key-table side") {
     // InferFiltersFromConstraints could copy the bloom_might_contain
     // predicate from the anti-join condition onto the KEYS side — at scale
