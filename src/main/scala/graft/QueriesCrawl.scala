@@ -45,6 +45,40 @@ object CrawlQueries {
   private def writeMarker(marker: java.nio.file.Path, dir: String): Unit =
     java.nio.file.Files.write(marker, sourceFingerprint(dir).getBytes)
 
+  /** Liveness touch: a directory's mtime freezes once its entries stop
+    * changing, while a long-lived process keeps READING the memoized state
+    * — every use advances the root's mtime so the sibling-GC's idle-age
+    * gate cannot collect a live root. */
+  private def touchRoot(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root))
+      try java.nio.file.Files.setLastModifiedTime(root,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: Exception => () }
+
+  /** GC memo roots from PREVIOUS fingerprints of the same source (each
+    * would otherwise orphan a full state/store copy in the tmpdir forever),
+    * keeping `current`. Only roots idle ≥30 min are collected: a CONCURRENT
+    * bench/verify process may still be using a previous-fingerprint root —
+    * its [[touchRoot]] keeps it young; an orphan's mtime stops advancing
+    * once its owner exits, so the age gate still reclaims it. */
+  private def gcStaleSiblings(prefix: String, current: java.nio.file.Path): Unit = {
+    val gcIdleMs = 30L * 60 * 1000
+    val now = System.currentTimeMillis()
+    val tmpDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val siblings = java.nio.file.Files.list(tmpDir)
+    try siblings.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(prefix) &&
+        p != current &&
+        (try now - java.nio.file.Files.getLastModifiedTime(p).toMillis > gcIdleMs
+         catch { case _: Exception => false }))
+      .foreach { old =>
+        val w = java.nio.file.Files.walk(old)
+        val paths = try w.iterator().asScala.toSeq finally w.close()
+        paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    finally siblings.close()
+  }
+
   // --- frontier scheduling ----------------------------------------------------
 
   /** Five URL spellings per doc (dups, case, default port, fragment,
@@ -114,40 +148,12 @@ object CrawlQueries {
       s"graft-qsr-$dirTag-" +
         Integer.toHexString(sourceFingerprint(dir).hashCode))
     val marker = root.resolve("_state_ok")
-    // Liveness touch: a directory's mtime freezes once its entries stop
-    // changing, while a long-lived process keeps READING the state — so
-    // every use advances the root's mtime to keep the sibling-GC's
-    // idle-age gate honest (reads alone would let a live root look idle).
-    if (java.nio.file.Files.exists(root))
-      try java.nio.file.Files.setLastModifiedTime(root,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      catch { case _: Exception => () }
+    touchRoot(root)
     if (!markerCurrent(marker, dir)) {
-      // GC state roots from PREVIOUS fingerprints of this dir (regenerated
-      // source data): each would otherwise orphan a full seen-set state in
-      // the tmpdir forever. Fresh roots (not in-place rebuilds) are required
-      // because the executor probe caches key on (root, snapshot id).
-      // Only roots that have been idle for ≥30 min are collected: a
-      // CONCURRENT bench/verify process may still be probing a
-      // previous-fingerprint root (or a different dir whose hashCode
-      // collides on dirTag) — deleting a live root would fail that run
-      // mid-query. An orphaned root's mtime stops advancing once its owner
-      // exits, so the age threshold still reclaims it on the next rebuild.
-      val gcIdleMs = 30L * 60 * 1000
-      val now = System.currentTimeMillis()
-      val tmpDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val siblings = java.nio.file.Files.list(tmpDir)
-      try siblings.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(s"graft-qsr-$dirTag-") &&
-          p != root &&
-          (try now - java.nio.file.Files.getLastModifiedTime(p).toMillis > gcIdleMs
-           catch { case _: Exception => false }))
-        .foreach { old =>
-          val w = java.nio.file.Files.walk(old)
-          val paths = try w.iterator().asScala.toSeq finally w.close()
-          paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      finally siblings.close()
+      // Fresh roots per fingerprint (not in-place rebuilds) are required
+      // because the executor probe caches key on (root, snapshot id);
+      // previous-fingerprint roots are GC'd under the idle-age gate.
+      gcStaleSiblings(s"graft-qsr-$dirTag-", root)
       if (java.nio.file.Files.exists(root)) { // partial build (no marker): restart
         val w = java.nio.file.Files.walk(root)
         val paths = try w.iterator().asScala.toSeq finally w.close()
@@ -343,12 +349,17 @@ object CrawlQueries {
     * fixtures. The marker lives NEXT TO the store dir (a parquet overwrite
     * wipes the target path itself). */
   private def ensurePageStore(s: SparkSession, dir: String): String = {
+    val dirTag = Integer.toHexString(dir.hashCode)
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-pgstore-${Integer.toHexString(dir.hashCode)}-" +
+      s"graft-pgstore-$dirTag-" +
         Integer.toHexString(sourceFingerprint(dir).hashCode))
     val marker = root.resolve("_store_ok")
+    touchRoot(root)
     if (!markerCurrent(marker, dir)) {
+      // reclaim stores built from previous fingerprints of this source —
+      // each holds a full parquet copy of the documents table
+      gcStaleSiblings(s"graft-pgstore-$dirTag-", root)
       java.nio.file.Files.createDirectories(root)
       val pages = t(s, dir, "documents").select(
         concat(lit("http://docs.example/"), col("doc_id")).as("url"),

@@ -25,30 +25,71 @@ import org.apache.spark.util.sketch.BloomFilter
   * generations at once cannot clobber each other's entry — a plain put
   * would evict the other loader's generation and thrash re-deserialization
   * per batch. */
-/** @param sizer approximate resident bytes of one cached filter — drives
-  *        the OPTIONAL global byte cap (`SPARK_GRAFT_PROBE_CACHE_MAX`,
-  *        default unbounded = the historical behavior). At a 10^10-key
-  *        seen set the full shard family is ~12 GB; executors whose rows
-  *        probe arbitrary hashes fault in every shard over time, so a
-  *        budget bounds residency at the cost of shard-file RE-READS on
-  *        re-entry (an evicted probe is a cache miss, never a wrong
-  *        answer). Enforcement is insertion-ordered and happens ONLY on
-  *        insert — the per-row hit path stays a single lock-free map read
-  *        with zero bookkeeping. */
-private[frontier] final class TwoGenCache[F](sizer: F => Long = (_: F) => 0L) {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, List[(Long, F)]]()
-  private val insertOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private val totalBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+/** ONE byte budget shared by every probe cache on the executor (Bloom AND
+  * cuckoo — a per-cache cap would let combined residency reach caches × the
+  * configured bound): `SPARK_GRAFT_PROBE_CACHE_MAX` bytes, default
+  * unbounded (the historical behavior). Eviction is insertion-ordered
+  * across all caches; the victim cache frees its own entry. */
+private[frontier] object ProbeCacheBudget {
+  private[frontier] val totalBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val insertOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(TwoGenCache[_], String)]()
 
   /** Test seam; production reads the env knob once. */
   @volatile private[frontier] var budgetOverride: Option[Long] = None
   private lazy val envBudget: Long =
-    sys.env.get("SPARK_GRAFT_PROBE_CACHE_MAX").map(_.toLong).getOrElse(Long.MaxValue)
+    sys.env.get("SPARK_GRAFT_PROBE_CACHE_MAX") match {
+      case None => Long.MaxValue
+      case Some(v) =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_PROBE_CACHE_MAX='$v' is not a long " +
+              "(plain bytes, no size suffixes)")
+        }
+    }
   private def budget: Long = budgetOverride.getOrElse(envBudget)
 
+  private[frontier] def registered(cache: TwoGenCache[_], key: String): Unit =
+    insertOrder.add((cache, key))
+
+  /** Called after an insert grew `totalBytes` past the budget: evict
+    * oldest-inserted keys across ALL caches, sparing the key just inserted
+    * (evicting it would guarantee a reload on the very next row). */
+  private[frontier] def enforce(current: (TwoGenCache[_], String)): Unit = {
+    var spared: Option[(TwoGenCache[_], String)] = None
+    while (totalBytes.get() > budget) {
+      val victim = insertOrder.poll()
+      if (victim == null) { spared.foreach(insertOrder.add); return }
+      if (victim == current && spared.isEmpty) spared = Some(victim)
+      else victim._1.removeForBudget(victim._2)
+    }
+    spared.foreach(insertOrder.add)
+  }
+}
+
+/** @param sizer approximate resident bytes of one cached filter — drives
+  *        the OPTIONAL executor-wide byte cap ([[ProbeCacheBudget]]). At a
+  *        10^10-key seen set the full Bloom shard family is ~12 GB;
+  *        executors whose rows probe arbitrary hashes fault in every shard
+  *        over time, so a budget bounds residency at the cost of
+  *        shard-file RE-READS on re-entry (an evicted probe is a cache
+  *        miss, never a wrong answer). Enforcement is insertion-ordered
+  *        and happens ONLY on insert — the per-row hit path stays a single
+  *        lock-free map read with zero bookkeeping. */
+private[frontier] final class TwoGenCache[F](sizer: F => Long = (_: F) => 0L) {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[(Long, F)]]()
+
   private[frontier] def entryCount: Int = cache.size()
-  private[frontier] def residentBytes: Long = totalBytes.get()
+
+  /** Budget-eviction callback: drop `key` and return its bytes to the
+    * shared ledger. */
+  private[frontier] def removeForBudget(key: String): Unit = {
+    val removed = cache.remove(key)
+    if (removed != null)
+      ProbeCacheBudget.totalBytes.addAndGet(-removed.map(e => sizer(e._2)).sum)
+  }
 
   def get(key: String, id: Long)(load: => F): F = {
     val cur = cache.get(key)
@@ -60,27 +101,14 @@ private[frontier] final class TwoGenCache[F](sizer: F => Long = (_: F) => 0L) {
         val delta = new java.util.concurrent.atomic.AtomicLong(0L)
         val merged = cache.compute(key, (_, prev0) => {
           val prev = if (prev0 == null) Nil else prev0
-          if (prev0 == null) insertOrder.add(key)
+          if (prev0 == null) ProbeCacheBudget.registered(this, key)
           val next = ((id, f) :: prev.filterNot(_._1 == id)).take(2)
           delta.set(next.map(e => sizer(e._2)).sum - prev.map(e => sizer(e._2)).sum)
           next
         })
-        val total = totalBytes.addAndGet(delta.get())
-        if (total > budget) evictUntilWithin()
+        ProbeCacheBudget.totalBytes.addAndGet(delta.get())
+        if (delta.get() > 0) ProbeCacheBudget.enforce((this, key))
         merged.find(_._1 == id).map(_._2).getOrElse(f)
-    }
-  }
-
-  /** Oldest-inserted keys go first until the budget holds; the eviction
-    * loop never blocks the hit path (removals go through the same per-key
-    * compute lock as inserts). */
-  private def evictUntilWithin(): Unit = {
-    while (totalBytes.get() > budget && cache.size() > 1) {
-      val victim = insertOrder.poll()
-      if (victim == null) return
-      val removed = cache.remove(victim)
-      if (removed != null)
-        totalBytes.addAndGet(-removed.map(e => sizer(e._2)).sum)
     }
   }
 }
@@ -100,9 +128,9 @@ object BloomProbe {
   // test seams for the byte-cap behavior (production budget comes from the
   // SPARK_GRAFT_PROBE_CACHE_MAX env knob, read once per executor)
   private[graft] def setBudgetForTest(b: Option[Long]): Unit =
-    cache.budgetOverride = b
+    ProbeCacheBudget.budgetOverride = b
   private[graft] def cacheStats: (Int, Long) =
-    (cache.entryCount, cache.residentBytes)
+    (cache.entryCount, ProbeCacheBudget.totalBytes.get())
 
   /** Static probe entry point for generated code (whole-stage codegen calls
     * this directly — no boxing, no UDF wrapper). */
