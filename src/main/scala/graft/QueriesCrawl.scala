@@ -72,9 +72,16 @@ object CrawlQueries {
         (try now - java.nio.file.Files.getLastModifiedTime(p).toMillis > gcIdleMs
          catch { case _: Exception => false }))
       .foreach { old =>
-        val w = java.nio.file.Files.walk(old)
-        val paths = try w.iterator().asScala.toSeq finally w.close()
-        paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // per-sibling best-effort: a concurrent GC (or an owner deleting its
+        // own dir) racing us must not fail THIS process's query — losing the
+        // race just leaves the sibling for the next GC pass
+        try {
+          val w = java.nio.file.Files.walk(old)
+          val paths = try w.iterator().asScala.toSeq finally w.close()
+          paths.reverse.foreach(p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+        } catch { case _: Exception => () }
       }
     finally siblings.close()
   }
@@ -166,6 +173,10 @@ object CrawlQueries {
       seen.retract(docs.filter(col("doc_id") % 21 === 0).select(col("doc_id").as("url_hash")))
       seen.add(docs.filter(col("doc_id") % 42 === 0).select(col("doc_id").as("url_hash")))
       writeMarker(marker, dir)
+      // re-touch after the (possibly long) build: the idle-age GC gate reads
+      // mtime, and a build that outlasted the gate would look abandoned to a
+      // concurrent process even though we just finished it
+      touchRoot(root)
     }
     root.toString
   }

@@ -55,8 +55,22 @@ object CrawlMain {
       if (storeBuckets > 0) {
         val p = s"$state/pagestore"
         // reuse ONLY a store written for this exact corpus + layout: a
-        // stale store silently 404s every page it lacks
-        val fp = s"pages=$nPages"
+        // stale store silently 404s every page it lacks. Corpus IDENTITY is
+        // row count + generator version + a checksum of a deterministic row
+        // sample — row count alone would pass a store whose generator
+        // changed under it across versions of this code.
+        val fp = {
+          import org.apache.spark.sql.functions.{col, sha2}
+          val sampleImgs = Seq(0L, nPages / 2, math.max(0L, nPages - 1))
+            .distinct.map(i => f"img-$i%08d")
+          val probe = pages
+            .filter(col("image_id").isin(sampleImgs: _*))
+            .select(col("url"), sha2(col("html"), 256))
+            .collect().map(r => s"${r.getString(0)}#${r.getString(1)}")
+            .sorted.mkString("|")
+          s"pages=$nPages;gen=${SyntheticCorpus.Version};" +
+            s"probe=${Integer.toHexString(probe.hashCode)}"
+        }
         if (!graft.crawl.PageStore.matches(p, storeBuckets, fp))
           graft.crawl.PageStore.write(pages, p, storeBuckets, fp)
         Some(p)

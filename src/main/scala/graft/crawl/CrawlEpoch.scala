@@ -34,6 +34,18 @@ object CrawlEpoch {
         t
       }))
 
+  /** Broadcast-timeout raise, SCOPED to the set of in-flight epochs:
+    * [[start]] raises the session's `spark.sql.broadcastTimeout` (only when
+    * the user never set the key themselves), [[finish]] restores the default
+    * once no epoch remains in flight — pipelined epochs share one raise via
+    * this refcount, so an application embedding CrawlEpoch on a long-lived
+    * session gets its 300 s broadcast hang safety net back between crawls.
+    * An epoch that is started but never finished (abandoned) leaves the
+    * raise in place — there is no safe point to restore under it. */
+  private val raiseLock = new Object
+  private var activeEpochs = 0
+  private var raisedOn: Option[SparkSession] = None
+
   final case class EpochMetrics(
       epoch: Long,
       scheduled: Long,
@@ -112,13 +124,19 @@ object CrawlEpoch {
     // materializer of a cold cache (the keys-side prune's maybes over the
     // just-persisted frontier, when the gating count was skipped) runs the
     // whole upstream under spark.sql.broadcastTimeout — 300 s default, a
-    // flaky failure mode in a degraded I/O window. Raised once per session,
-    // and ONLY when the user never set the key themselves (getAllConfs
-    // holds explicitly-set entries only — an explicit 300 is respected).
-    // Not restored after the epoch: the out-stage future outlives start(),
-    // and crawl sessions are batch.
-    if (!spark.sessionState.conf.getAllConfs.contains("spark.sql.broadcastTimeout"))
-      spark.conf.set("spark.sql.broadcastTimeout", "3600")
+    // flaky failure mode in a degraded I/O window. Raised ONLY when the user
+    // never set the key themselves (getAllConfs holds explicitly-set entries
+    // only — an explicit 300 is respected), and restored by finish() once no
+    // epoch is in flight (see raiseLock above): the out-stage future
+    // outlives start(), so the refcount — not this call — scopes the raise.
+    raiseLock.synchronized {
+      activeEpochs += 1
+      if (raisedOn.isEmpty &&
+          !spark.sessionState.conf.getAllConfs.contains("spark.sql.broadcastTimeout")) {
+        spark.conf.set("spark.sql.broadcastTimeout", "3600")
+        raisedOn = Some(spark)
+      }
+    }
     val frontier = frontierTable(stateRoot, spark)
     val seen = new SeenSet(s"$stateRoot/seen", spark)
     val schedTable = new SnapshotTable(s"$stateRoot/scheduled", spark)
@@ -582,6 +600,17 @@ object CrawlEpoch {
         count(when(col("license_abbr").isNotNull, 1)).as("licensed"),
         count(when(col("pixels_ok") && col("phash_ok"), 1)).as("decode_ok")
       ).collect()(0))
+    // last epoch out: restore the broadcast-timeout default we raised in
+    // start() — unless someone set their own value over ours in between
+    raiseLock.synchronized {
+      activeEpochs -= 1
+      if (activeEpochs == 0 && raisedOn.isDefined) {
+        val s = raisedOn.get
+        if (s.conf.get("spark.sql.broadcastTimeout", "3600") == "3600")
+          s.conf.unset("spark.sql.broadcastTimeout")
+        raisedOn = None
+      }
+    }
     EpochMetrics(
       epoch = r.epoch,
       scheduled = r.scheduled,

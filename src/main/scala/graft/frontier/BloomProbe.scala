@@ -53,6 +53,14 @@ private[frontier] object ProbeCacheBudget {
   private[frontier] def registered(cache: TwoGenCache[_], key: String): Unit =
     insertOrder.add((cache, key))
 
+  /** Test seam: drop EVERY registered entry (all probe caches) and return
+    * the ledger to zero — lets an A/B measure cold-cache load counts per
+    * arm instead of inheriting the previous arm's residency. */
+  private[frontier] def clearForTest(): Unit = {
+    var v = insertOrder.poll()
+    while (v != null) { v._1.removeForBudget(v._2); v = insertOrder.poll() }
+  }
+
   /** Called after an insert grew `totalBytes` past the budget: evict
     * oldest-inserted keys across ALL caches, sparing the key just inserted
     * (evicting it would guarantee a reload on the very next row). */
@@ -119,10 +127,27 @@ object BloomProbe {
 
   private val cache = new TwoGenCache[BloomFilter](bf => bf.bitSize() / 8)
 
+  /** Opt-in instrumentation for the shard-routing A/B ([[graft.ProbeShardRoute]]
+    * and ShardRouteSpec): when on, every probe records (taskPartitionId,
+    * shard) — the per-TASK shard working set, the quantity shard-routed
+    * probing bounds at 1. Off (the default) costs one static volatile read
+    * per row. Loads/loadedBytes count actual shard-file deserializations —
+    * with a byte-capped cache they are the re-read cost routing eliminates. */
+  @volatile private[graft] var trackTouches: Boolean = false
+  private[graft] val touches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+  private[graft] val loads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val loadedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def resetTracking(): Unit = {
+    touches.clear(); loads.set(0L); loadedBytes.set(0L)
+  }
+
   private[graft] def filterFor(root: String, id: Long, shard: Int): BloomFilter =
     cache.get(s"$root#$shard", id) {
-      BloomFilter.readFrom(new ByteArrayInputStream(
-        Files.readAllBytes(Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin"))))
+      val bytes = Files.readAllBytes(
+        Paths.get(root, "snapshots", s"bloom-v$id-s$shard.bin"))
+      if (trackTouches) { loads.incrementAndGet(); loadedBytes.addAndGet(bytes.length) }
+      BloomFilter.readFrom(new ByteArrayInputStream(bytes))
     }
 
   // test seams for the byte-cap behavior (production budget comes from the
@@ -131,11 +156,21 @@ object BloomProbe {
     ProbeCacheBudget.budgetOverride = b
   private[graft] def cacheStats: (Int, Long) =
     (cache.entryCount, ProbeCacheBudget.totalBytes.get())
+  private[graft] def clearCacheForTest(): Unit = ProbeCacheBudget.clearForTest()
 
   /** Static probe entry point for generated code (whole-stage codegen calls
-    * this directly — no boxing, no UDF wrapper). */
-  def probe(root: String, id: Long, h: Long): Boolean =
-    filterFor(root, id, SeenSet.shardOf(h)).mightContainLong(h)
+    * this directly — no boxing, no UDF wrapper). `shardCount` is resolved
+    * ONCE at plan time from the root's shard-count record ([[ShardMeta]])
+    * and baked into the generated call as an integer constant — the per-row
+    * path stays a modulo + filter lookup, no metadata read. */
+  def probe(root: String, id: Long, shardCount: Int, h: Long): Boolean = {
+    val shard = SeenSet.shardOf(h, shardCount)
+    if (trackTouches) {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) touches.add((tc.partitionId(), shard))
+    }
+    filterFor(root, id, shard).mightContainLong(h)
+  }
 }
 
 /** Shared shape of the sidecar-probe expressions:
@@ -149,7 +184,7 @@ abstract class SidecarProbe extends TernaryExpression {
   /** Fully-qualified static method generated code calls. */
   protected def probeMethod: String
   /** The same probe for interpreted evaluation. */
-  protected def probe(root: String, id: Long, h: Long): Boolean
+  protected def probe(root: String, id: Long, shardCount: Int, h: Long): Boolean
 
   override def first: Expression = hash
   override def second: Expression = rootExpr
@@ -171,13 +206,17 @@ abstract class SidecarProbe extends TernaryExpression {
 
   @transient protected lazy val root: String = rootExpr.eval().toString
   @transient protected lazy val snapId: Long = idExpr.eval().asInstanceOf[Long]
+  /** Root's recorded shard fan-out, resolved at plan time (driver side —
+    * same shared store the sidecars live in) and embedded as a constant in
+    * generated code; never read per row. */
+  @transient protected lazy val shardCount: Int = ShardMeta.countFor(root)
 
   override protected def nullSafeEval(h: Any, r: Any, i: Any): Any =
-    java.lang.Boolean.valueOf(probe(root, snapId, h.asInstanceOf[Long]))
+    java.lang.Boolean.valueOf(probe(root, snapId, shardCount, h.asInstanceOf[Long]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val rootRef = ctx.addReferenceObj("probeRoot", root)
-    defineCodeGen(ctx, ev, (h, _, _) => s"$probeMethod($rootRef, ${snapId}L, $h)")
+    defineCodeGen(ctx, ev, (h, _, _) => s"$probeMethod($rootRef, ${snapId}L, $shardCount, $h)")
   }
 }
 
@@ -189,8 +228,8 @@ case class BloomMightContain(hash: Expression, rootExpr: Expression, idExpr: Exp
     extends SidecarProbe {
   override def prettyName: String = "bloom_might_contain"
   override protected def probeMethod: String = "graft.frontier.BloomProbe.probe"
-  override protected def probe(root: String, id: Long, h: Long): Boolean =
-    BloomProbe.probe(root, id, h)
+  override protected def probe(root: String, id: Long, shardCount: Int, h: Long): Boolean =
+    BloomProbe.probe(root, id, shardCount, h)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(hash = newFirst, rootExpr = newSecond, idExpr = newThird)
@@ -248,9 +287,10 @@ object CuckooProbe {
         SeenSet.cuckooShardPath(root, id, shard)))
     }
 
-  /** Static probe entry point for generated code. */
-  def probe(root: String, id: Long, h: Long): Boolean =
-    filterFor(root, id, SeenSet.shardOf(h)).contains(h)
+  /** Static probe entry point for generated code (`shardCount` resolved at
+    * plan time, see [[BloomProbe.probe]]). */
+  def probe(root: String, id: Long, shardCount: Int, h: Long): Boolean =
+    filterFor(root, id, SeenSet.shardOf(h, shardCount)).contains(h)
 }
 
 /** `cuckoo_might_contain(url_hash, root, snapshot_id)` — codegen'd probe of
@@ -261,8 +301,8 @@ case class CuckooMightContain(hash: Expression, rootExpr: Expression, idExpr: Ex
     extends SidecarProbe {
   override def prettyName: String = "cuckoo_might_contain"
   override protected def probeMethod: String = "graft.frontier.CuckooProbe.probe"
-  override protected def probe(root: String, id: Long, h: Long): Boolean =
-    CuckooProbe.probe(root, id, h)
+  override protected def probe(root: String, id: Long, shardCount: Int, h: Long): Boolean =
+    CuckooProbe.probe(root, id, shardCount, h)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(hash = newFirst, rootExpr = newSecond, idExpr = newThird)

@@ -47,11 +47,27 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * @param expectedKeys sizing hint for the first Bloom build; underestimating
   *        only triggers an earlier compaction, never wrong answers.
+  * @param shardCount sidecar fan-out, a FIRST-BUILD parameter ([[ShardMeta]]):
+  *        recorded under `root/snapshots/` at the first build and fixed for
+  *        the root's life (merge geometry + file layout + probe routing all
+  *        depend on it); on an existing root the recorded value wins and this
+  *        argument is ignored. Size it to the deployment — shard-routed
+  *        probing ([[filterUnseenRouted]]) runs one shard per task, so at
+  *        cluster scale S should be ≥ the concurrent task slots you want the
+  *        probe stage to use, and each task's resident filter bytes are
+  *        `totalFilterBytes / S` (~750 MB at 10^10 keys with S=16; S=256
+  *        brings it under 50 MB).
   */
 final class SeenSet(root: String, spark: SparkSession,
-    expectedKeys: Long = SeenSet.DefaultExpectedKeys) {
+    expectedKeys: Long = SeenSet.DefaultExpectedKeys,
+    shardCount: Int = SeenSet.ShardCount) {
 
-  import SeenSet.{MaxChainLength, ShardCount}
+  import SeenSet.MaxChainLength
+
+  /** Effective fan-out: the recorded value for an existing root, the
+    * constructor's for a root this instance is about to build. */
+  private def S: Int =
+    if (ShardMeta.isRecorded(root)) ShardMeta.countFor(root) else shardCount
 
   val table = new SnapshotTable(root, spark)
 
@@ -146,8 +162,8 @@ final class SeenSet(root: String, spark: SparkSession,
     if (total <= SeenSet.cuckooDriverBuildMax(spark)) {
       import spark.implicits._
       SeenSet.writeCuckooShardFiles(tombRoot, tid,
-        SeenSet.buildCuckooShardsLocal(keysDf.as[Long].collect(), total))
-    } else SeenSet.buildWriteCuckooShards(tombRoot, tid, keysDf, total)
+        SeenSet.buildCuckooShardsLocal(keysDf.as[Long].collect(), total, S))
+    } else SeenSet.buildWriteCuckooShards(tombRoot, tid, keysDf, total, S)
   }
 
   /** Re-adding a retracted key clears its tombstone: the exact set shrinks
@@ -183,24 +199,30 @@ final class SeenSet(root: String, spark: SparkSession,
           import spark.implicits._
           SeenSet.writeCuckooShardFiles(tombRoot, newTid,
             SeenSet.deleteFromCuckooShardsLocal(tombRoot, oldTid.get,
-              reAdded.as[Long].collect()),
+              reAdded.as[Long].collect(), S),
             carryOverFrom = Some(oldTid.get))
         } else SeenSet.deleteWriteCuckooShards(tombRoot, oldTid.get, newTid,
-          reAdded)
+          reAdded, S)
       } else writeCuckoo(newTid)
     } finally reAdded.unpersist(blocking = false)
   }
 
-  /** Per-shard Bloom capacity, fixed at first build (merge compatibility). */
+  /** Per-shard Bloom capacity, fixed at first build (merge compatibility).
+    * Format: JSON `{"per_shard":N,"shard_count":S}`; a bare long is the
+    * pre-shard-count legacy format (fan-out 16). */
   private def shardCapacity: Option[Long] =
-    if (Files.exists(metaPath))
-      Some(new String(Files.readAllBytes(metaPath)).trim.toLong)
-    else None
+    if (Files.exists(metaPath)) {
+      val s = new String(Files.readAllBytes(metaPath)).trim
+      if (s.startsWith("{"))
+        Some(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(s).get("per_shard").asLong)
+      else Some(s.toLong)
+    } else None
 
   private def writeShardCapacity(perShard: Long): Unit = {
     val tmp = Paths.get(root, "snapshots", "bloom-meta.json.tmp")
     Files.createDirectories(metaPath.getParent)
-    Files.write(tmp, perShard.toString.getBytes)
+    Files.write(tmp, s"""{"per_shard":$perShard,"shard_count":$S}""".getBytes)
     Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -216,10 +238,10 @@ final class SeenSet(root: String, spark: SparkSession,
       // first add: full commit + fresh shards; fix capacity for the chain
       val id = table.commit(newKeys, lineage)
       val n = table.manifest(id).map(_.get("row_count").asLong).getOrElse(0L)
-      val perShard = math.max(1000L, math.max(expectedKeys, 4 * n) / ShardCount)
+      val perShard = math.max(1000L, math.max(expectedKeys, 4 * n) / S)
       writeShardCapacity(perShard)
       SeenSet.buildWriteShards(root, id, table.readAt(id), perShard,
-        knownRows = n)
+        knownRows = n, shardCount = S)
       id
     } else {
       // a re-added retracted key just loses its tombstone (it is already in
@@ -233,8 +255,8 @@ final class SeenSet(root: String, spark: SparkSession,
       val chainLen = table.dataDirs(id).size
       val parent = m.get("parent_id").asLong
       val perShard = shardCapacity.getOrElse(
-        math.max(1000L, math.max(expectedKeys, 4 * total) / ShardCount))
-      val outgrown = total > perShard * ShardCount
+        math.max(1000L, math.max(expectedKeys, 4 * total) / S))
+      val outgrown = total > perShard * S
       if (outgrown || chainLen > MaxChainLength || !shardsPresent(parent)) {
         // compaction (amortized O(1)/key): rewrite the chain into one dir and
         // rebuild shards at 4x the current size. Also the crash-recovery path
@@ -242,11 +264,11 @@ final class SeenSet(root: String, spark: SparkSession,
         val cid = table.commit(table.readAt(id),
           lineage + ("compaction" -> "true"))
         val newPerShard =
-          if (outgrown) math.max(perShard, 4 * total / ShardCount)
+          if (outgrown) math.max(perShard, 4 * total / S)
           else perShard
         writeShardCapacity(newPerShard)
         SeenSet.buildWriteShards(root, cid, table.readAt(cid), newPerShard,
-          knownRows = total)
+          knownRows = total, shardCount = S)
         cid
       } else {
         // delta-only Bloom build, reading back the just-committed delta files
@@ -257,7 +279,7 @@ final class SeenSet(root: String, spark: SparkSession,
         val deltaDir = m.get("data_dir").asText
         SeenSet.buildWriteShards(root, id, spark.read.parquet(deltaDir),
           perShard, mergeParentId = Some(parent),
-          knownRows = m.get("delta_rows").asLong)
+          knownRows = m.get("delta_rows").asLong, shardCount = S)
         id
       }
     }
@@ -284,7 +306,7 @@ final class SeenSet(root: String, spark: SparkSession,
   }
 
   private def shardsPresent(id: Long): Boolean =
-    (0 until ShardCount).forall(s => Files.exists(bloomPath(id, s)))
+    (0 until S).forall(s => Files.exists(bloomPath(id, s)))
 
   /** [[filterUnseen]] for a frontier the CALLER HAS PERSISTED (or that is
     * trivially cheap to recompute): additionally prunes the KEYS side of
@@ -365,12 +387,35 @@ final class SeenSet(root: String, spark: SparkSession,
         frontier.join(liveKeys(), Seq("url_hash"), "left_anti")
     }
   }
+
+  /** [[filterUnseen]] with SHARD-ROUTED probing: the frontier is first
+    * repartitioned so every task's rows probe exactly ONE Bloom shard
+    * ([[ShardRoute.routeByShard]]) — per-task resident filter bytes drop
+    * from the whole family (~12 GB at 10^10 keys) to one shard
+    * (`totalBytes / shardCount`), and a byte-capped probe cache stops
+    * thrashing because consecutive rows never alternate shards. Costs one
+    * exchange of the frontier; identical output to [[filterUnseen]]
+    * (routing only moves rows). The shape for residency-bound clusters —
+    * pair it with a shardCount ≥ the probe stage's task-slot count at build
+    * time. `slotsPerShard` spreads each shard over that many tasks
+    * (parallelism = shardCount × slotsPerShard). */
+  def filterUnseenRouted(frontier: DataFrame, slotsPerShard: Int = 1): DataFrame = {
+    if (isEmpty) return frontier
+    table.currentSnapshotId match {
+      case Some(id) if shardsPresent(id) =>
+        filterUnseen(ShardRoute.routeByShard(frontier, "url_hash", S, slotsPerShard))
+      case _ => filterUnseen(frontier)
+    }
+  }
 }
 
 object SeenSet {
 
-  /** Shard fan-out. Sized so one shard of a 10^10-key set stays ~750 MB at
-    * 1% fpp; tasks touch only the shards their rows hash to. */
+  /** DEFAULT shard fan-out for roots whose builder does not choose one (a
+    * 10^10-key set at 1% fpp is ~750 MB/shard at 16). The real value is a
+    * FIRST-BUILD PARAMETER (`SeenSet(shardCount = …)`, recorded per root by
+    * [[ShardMeta]]): deployments that shard-route the probe size it to their
+    * task-slot count instead. */
   val ShardCount: Int = 16
 
   /** Delta-chain length that triggers compaction (bounds per-read file-list
@@ -381,7 +426,8 @@ object SeenSet {
     * own; outgrowing it only triggers compaction). */
   val DefaultExpectedKeys: Long = 4L * 1000 * 1000
 
-  def shardOf(h: Long): Int = (((h % ShardCount) + ShardCount) % ShardCount).toInt
+  def shardOf(h: Long, shardCount: Int): Int =
+    (((h % shardCount) + shardCount) % shardCount).toInt
 
   /** Write Bloom shards as per-snapshot sidecars under `root/snapshots/`
     * (the layout [[BloomProbe]] reads and [[SnapshotTable.expireSnapshots]]
@@ -445,24 +491,28 @@ object SeenSet {
     * — the per-epoch floor case (a tiny delta against a big set). */
   private[graft] def buildWriteShards(root: String, id: Long, keysDf: DataFrame,
       perShard: Long, mergeParentId: Option[Long] = None,
-      knownRows: Long = Long.MaxValue): Unit = {
+      knownRows: Long = Long.MaxValue,
+      shardCount: Int = ShardCount): Unit = {
     val spark = keysDf.sparkSession
     import spark.implicits._
+    // the fan-out record must exist BEFORE any shard file: probes resolve
+    // routing from it, and presence-of-all-shards implies presence-of-record
+    ShardMeta.record(root, shardCount)
     if (knownRows <= bloomDriverBuildMax(spark) &&
         perShard <= DriverShardCapacityMax) {
       val keys = keysDf.select(col("url_hash")).as[Long].collect()
-      val shards = Array.tabulate(ShardCount)(s =>
+      val shards = Array.tabulate(shardCount)(s =>
         freshOrParentShard(root, mergeParentId, perShard, s))
-      keys.foreach(h => shards(shardOf(h)).putLong(h))
+      keys.foreach(h => shards(shardOf(h, shardCount)).putLong(h))
       writeShardFiles(root, id, shards)
     } else {
       // closure captures only plain values + object methods (a nested def
       // here would drag the whole method frame — SparkSession included —
       // into the task and fail serialization)
-      val (rootC, idC, parentC, capC) = (root, id, mergeParentId, perShard)
+      val (rootC, idC, parentC, capC, sC) = (root, id, mergeParentId, perShard, shardCount)
       keysDf.select(col("url_hash")).as[Long].rdd
-        .map(h => (shardOf(h), h))
-        .partitionBy(new ShardPartitioner)
+        .map(h => (shardOf(h, sC), h))
+        .partitionBy(new ShardPartitioner(sC))
         .mapPartitionsWithIndex { (shard, it) =>
           val bf = freshOrParentShard(rootC, parentC, capC, shard)
           it.foreach { case (_, h) => bf.putLong(h) }
@@ -486,7 +536,7 @@ object SeenSet {
   }
 
   private[graft] def shardFilesPresent(root: String, id: Long): Boolean =
-    (0 until ShardCount).forall(s =>
+    (0 until ShardMeta.countFor(root)).forall(s =>
       Files.exists(Paths.get(root, "snapshots", s"bloom-v$id-s$s.bin")))
 
   // --- sharded cuckoo sidecars (tombstone probe) ---------------------------
@@ -507,11 +557,12 @@ object SeenSet {
     Paths.get(root, "snapshots", s"cuckoo-v$id-s$shard.bin")
 
   private[graft] def cuckooShardsPresent(root: String, id: Long): Boolean =
-    (0 until ShardCount).forall(s => Files.exists(cuckooShardPath(root, id, s)))
+    (0 until ShardMeta.countFor(root)).forall(s =>
+      Files.exists(cuckooShardPath(root, id, s)))
 
   /** Routes pre-computed shard ids to their own partition (identity map). */
-  private final class ShardPartitioner extends org.apache.spark.Partitioner {
-    def numPartitions: Int = ShardCount
+  private final class ShardPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
@@ -538,8 +589,8 @@ object SeenSet {
     cf.serialize()
   }
 
-  private def perShardCapacity(total: Long): Long =
-    math.max(64L, 2L * total / ShardCount)
+  private def perShardCapacity(total: Long, shardCount: Int): Long =
+    math.max(64L, 2L * total / shardCount)
 
   /** Build AND WRITE all [[ShardCount]] cuckoo shard sidecars for tombstone
     * snapshot `tid` on EXECUTORS: one task per shard builds its filter
@@ -549,12 +600,14 @@ object SeenSet {
     * mostly-failed epoch at 10^10-URL scale retracts ~10^8 keys, whose 16
     * serialized filters would otherwise all pass through the driver. */
   private[graft] def buildWriteCuckooShards(root: String, tid: Long,
-      keysDf: DataFrame, total: Long): Unit = {
+      keysDf: DataFrame, total: Long, shardCount: Int = ShardCount): Unit = {
     import keysDf.sparkSession.implicits._
-    val perShard = perShardCapacity(total)
+    ShardMeta.record(root, shardCount)
+    val perShard = perShardCapacity(total, shardCount)
+    val sC = shardCount
     keysDf.select(col("url_hash")).as[Long].rdd
-      .map(h => (shardOf(h), h))
-      .partitionBy(new ShardPartitioner)
+      .map(h => (shardOf(h, sC), h))
+      .partitionBy(new ShardPartitioner(sC))
       .mapPartitionsWithIndex { (shard, it) =>
         writeOneCuckooShard(root, tid, shard,
           buildShardFilter(it.map(_._2).toArray, perShard))
@@ -564,10 +617,11 @@ object SeenSet {
 
   /** Driver-side twin of [[buildWriteCuckooShards]] for bounded key sets —
     * byte-identical output (same per-shard sorted insert order). */
-  private[graft] def buildCuckooShardsLocal(keys: Array[Long], total: Long): Array[Array[Byte]] = {
-    val perShard = perShardCapacity(total)
-    val byShard = Array.fill(ShardCount)(new scala.collection.mutable.ArrayBuilder.ofLong)
-    keys.foreach(h => byShard(shardOf(h)) += h)
+  private[graft] def buildCuckooShardsLocal(keys: Array[Long], total: Long,
+      shardCount: Int = ShardCount): Array[Array[Byte]] = {
+    val perShard = perShardCapacity(total, shardCount)
+    val byShard = Array.fill(shardCount)(new scala.collection.mutable.ArrayBuilder.ofLong)
+    keys.foreach(h => byShard(shardOf(h, shardCount)) += h)
     byShard.map(b => buildShardFilter(b.result(), perShard))
   }
 
@@ -589,11 +643,12 @@ object SeenSet {
     * deletions are read/edited/re-written by their own task; untouched
     * shards carry the old generation's bytes over verbatim. */
   private[graft] def deleteWriteCuckooShards(root: String, oldId: Long,
-      newId: Long, delKeys: DataFrame): Unit = {
+      newId: Long, delKeys: DataFrame, shardCount: Int = ShardCount): Unit = {
     import delKeys.sparkSession.implicits._
+    val sC = shardCount
     delKeys.select(col("url_hash")).as[Long].rdd
-      .map(h => (shardOf(h), h))
-      .partitionBy(new ShardPartitioner)
+      .map(h => (shardOf(h, sC), h))
+      .partitionBy(new ShardPartitioner(sC))
       .mapPartitionsWithIndex { (shard, it) =>
         val keys = it.map(_._2).toArray
         val payload =
@@ -621,9 +676,9 @@ object SeenSet {
   /** Driver-side twin of [[deleteWriteCuckooShards]] for bounded deletion
     * sets against a bounded old filter — byte-identical output. */
   private[graft] def deleteFromCuckooShardsLocal(root: String, oldId: Long,
-      delKeys: Array[Long]): Array[Array[Byte]] = {
-    val byShard = Array.fill(ShardCount)(new scala.collection.mutable.ArrayBuilder.ofLong)
-    delKeys.foreach(h => byShard(shardOf(h)) += h)
+      delKeys: Array[Long], shardCount: Int = ShardCount): Array[Array[Byte]] = {
+    val byShard = Array.fill(shardCount)(new scala.collection.mutable.ArrayBuilder.ofLong)
+    delKeys.foreach(h => byShard(shardOf(h, shardCount)) += h)
     byShard.zipWithIndex.map { case (b, shard) =>
       val keys = b.result()
       if (keys.isEmpty) null
@@ -635,7 +690,8 @@ object SeenSet {
     * carries the shard over from `carryOverFrom` byte-for-byte (the
     * untouched-shard fast path of the deletion edit). */
   private[graft] def writeCuckooShardFiles(root: String, id: Long,
-      shards: Array[Array[Byte]], carryOverFrom: Option[Long] = None): Unit =
+      shards: Array[Array[Byte]], carryOverFrom: Option[Long] = None): Unit = {
+    ShardMeta.record(root, shards.length)
     shards.zipWithIndex.foreach { case (bytes, shard) =>
       val dest = cuckooShardPath(root, id, shard)
       val tmp = Paths.get(root, "snapshots", s"cuckoo-v$id-s$shard.bin.tmp")
@@ -649,4 +705,5 @@ object SeenSet {
       Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
+  }
 }
