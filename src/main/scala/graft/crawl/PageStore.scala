@@ -70,9 +70,10 @@ object PageStore {
       fingerprint: String = ""): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     GraftFunctions.register(pages.sparkSession)
-    pages
+    val shaped = pages
       .withColumnsRenamed(Map("url" -> "page_url"))
       .withColumn("page_hash", GraftFunctions.urlHash64(col("page_url")))
+    shaped
       .withColumn("bucket", bucketOf(col("page_hash"), nBuckets))
       // shuffle rows to their bucket BEFORE the partitioned write: without
       // this every write task opens a file in every bucket dir it sees —
@@ -81,6 +82,11 @@ object PageStore {
       // After the repartition each bucket is one task → one file.
       .repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // one write-time listing → a single-file catalog: every subsequent read
+    // (pruned or not) plans from ONE JSON read instead of nBuckets directory
+    // listings + schema inference — the dominant cost of small pruned reads
+    // at local scale, and millions of object-store LIST calls at 100 TB
+    graft.sources.ManifestParquet.writeManifest(path, "bucket", shaped.schema)
     val tmp = Paths.get(path, "_graft_buckets.tmp")
     Files.write(tmp, s"$nBuckets\n$fingerprint".getBytes)
     Files.move(tmp, metaPath(path), StandardCopyOption.ATOMIC_MOVE,
@@ -94,7 +100,14 @@ object PageStore {
   def readForSchedule(spark: SparkSession, path: String, scheduled: DataFrame,
       schedRows: Long): DataFrame = {
     val n = bucketCount(path)
-    val all = spark.read.parquet(path)
+    // plan from the single-file catalog when present (stores written before
+    // the manifest existed fall back to directory listing); the bucket
+    // isin-filter below reaches ManifestFileIndex as a partition filter —
+    // pruning is an in-memory array filter, zero filesystem listings
+    val all =
+      if (graft.sources.ManifestParquet.hasManifest(path))
+        graft.sources.ManifestParquet.read(spark, path)
+      else spark.read.parquet(path)
     val pruned =
       if (schedRows <= pruneMax(spark)) {
         import spark.implicits._
