@@ -215,13 +215,18 @@ object CrawlEpoch {
       (cacheT, fetched, forSchedule, hostBound)
     }
 
-    def runRobotsStage(): Unit = robotsCache.foreach { case (cacheT, fetched, _, _) =>
-      if (!cacheT.stageDone(epoch, "robots")) {
-        if (cacheT.exists) cacheT.commitDelta(fetched, Map("epoch" -> epoch.toString))
-        else cacheT.commit(fetched, Map("epoch" -> epoch.toString))
-        cacheT.markStage(epoch, "robots")
+    def runRobotsStage(emptyFrontier: => Boolean): Unit =
+      robotsCache.foreach { case (cacheT, fetched, _, _) =>
+        if (!cacheT.stageDone(epoch, "robots")) {
+          // empty frontier ⇒ no hosts ⇒ no new verdicts: marker only
+          if (emptyFrontier && cacheT.exists) cacheT.markStage(epoch, "robots")
+          else {
+            if (cacheT.exists) cacheT.commitDelta(fetched, Map("epoch" -> epoch.toString))
+            else cacheT.commit(fetched, Map("epoch" -> epoch.toString))
+            cacheT.markStage(epoch, "robots")
+          }
+        }
       }
-    }
 
     // --- stage 1: schedule ---------------------------------------------------
     // The normalized frontier is PERSISTED for the stage: it feeds both the
@@ -229,23 +234,39 @@ object CrawlEpoch {
     // 10^10 seen keys the prune keeps the key table out of the exchange)
     // and the schedule plan itself, then is dropped once the schedule is
     // committed. Epoch-frontier sized by the shedding invariant.
+    // Manifest-exact frontier row count (normalize only dedupes): bounds
+    // the Bloom maybes so the keys-side prune's gating count job is
+    // skipped whenever the whole frontier fits the broadcast cap — the
+    // per-epoch-floor case. No counting job is ever run for this. Also
+    // drives the empty-epoch short-circuits below: 0 frontier rows means
+    // the schedule/robots/frontier stages provably have nothing to compute.
+    val frontierRowsExact = frontier.currentSnapshotId.flatMap(frontier.manifest)
+      .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
     if (!schedTable.stageDone(epoch, "scheduled")) timed("schedule") {
-      val normalized = Scheduler.normalize(frontier.read())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Manifest-exact frontier row count (normalize only dedupes): bounds
-      // the Bloom maybes so the keys-side prune's gating count job is
-      // skipped whenever the whole frontier fits the broadcast cap — the
-      // per-epoch-floor case. No counting job is ever run for this.
-      val frontierRows = frontier.currentSnapshotId.flatMap(frontier.manifest)
-        .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
-      try {
-        val sch = Scheduler.scheduleFromNormalized(normalized, seen,
-          robotsCache.map(_._3), budgetPerHost,
-          robotsHosts = robotsCache.map(_._4).getOrElse(Long.MaxValue),
-          persisted = true, frontierRows = frontierRows)
-        schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
+      // empty frontier ⇒ empty schedule: typed manifest-only commit from
+      // the parent schedule's recorded schema (first epoch has no parent —
+      // the general path writes the schema then)
+      val emptyScheduleSchema =
+        if (frontierRowsExact == 0L)
+          schedTable.currentSnapshotId.flatMap(schedTable.manifest)
+            .filter(_.has("schema_json")).map(_.get("schema_json").asText)
+        else None
+      if (emptyScheduleSchema.isDefined) {
+        schedTable.commitEmpty(emptyScheduleSchema.get,
+          Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
         schedTable.markStage(epoch, "scheduled")
-      } finally normalized.unpersist(blocking = false)
+      } else {
+        val normalized = Scheduler.normalize(frontier.read())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val sch = Scheduler.scheduleFromNormalized(normalized, seen,
+            robotsCache.map(_._3), budgetPerHost,
+            robotsHosts = robotsCache.map(_._4).getOrElse(Long.MaxValue),
+            persisted = true, frontierRows = frontierRowsExact)
+          schedTable.commit(sch, Map("epoch" -> epoch.toString, "stage" -> "scheduled"))
+          schedTable.markStage(epoch, "scheduled")
+        } finally normalized.unpersist(blocking = false)
+      }
     }
     val scheduled = schedTable.read()
 
@@ -256,6 +277,15 @@ object CrawlEpoch {
     val schedSnap = schedTable.snapshotForLineage("epoch", epoch.toString)
     val schedRows = schedSnap.flatMap(schedTable.manifest)
       .map(_.get("row_count").asLong).getOrElse(Long.MaxValue)
+    // EMPTY-EPOCH SHORT-CIRCUITS (manifest-exact counts, never a job): a
+    // drained epoch must still advance lineage — resume markers, metrics
+    // and the next epoch all look state up by epoch — but owes no Spark
+    // jobs for stages whose inputs are provably empty. With 0 scheduled
+    // rows the fetch/decode sink is empty (manifest-only typed commit) and
+    // the seen set gains nothing (marker only); the frontier/robots stages
+    // additionally need the FRONTIER empty (a non-empty frontier with an
+    // empty schedule still sheds seen URLs / may cache new hosts).
+    val emptySchedule = schedRows == 0L
     // Fetch joins key on the 64-bit url hash instead of the URL string: the
     // epoch's widest shuffle then sorts/hashes longs, not ~40-char strings.
     // Exactness is kept by re-checking string equality after the hash match
@@ -299,6 +329,20 @@ object CrawlEpoch {
 
     // --- stage 2: fetch + decode + annotate → out ---------------------------
     def runOutStage(): Unit = if (!outTable.stageDone(epoch, "out")) {
+      // 0 scheduled rows ⇒ the sink is empty by construction: commit the
+      // typed empty snapshot from the parent's recorded schema, no job.
+      // (First-ever epoch with an empty schedule has no parent schema to
+      // copy — fall through to the general path, which writes one.)
+      val emptySinkSchema =
+        if (emptySchedule) outTable.currentSnapshotId.flatMap(outTable.manifest)
+          .filter(_.has("schema_json")).map(_.get("schema_json").asText)
+        else None
+      if (emptySinkSchema.isDefined) {
+        outTable.commitEmpty(emptySinkSchema.get,
+          Map("epoch" -> epoch.toString, "stage" -> "out"))
+        outTable.markStage(epoch, "out")
+        return
+      }
       // Fetch join, 100 TB shape: html NEVER crosses an exchange on either
       // path. Broadcast path (schedule fits a broadcast): hits stream
       // straight out of the corpus scan; license extraction runs inside
@@ -405,12 +449,24 @@ object CrawlEpoch {
     // Bloom shards; per-epoch cost is O(scheduled), not O(all keys ever)) ----
     def runSeenStage(): Unit =
       if (!new java.io.File(s"$stateRoot/seen/stages/e$epoch-seen").exists()) {
-        seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString))
+        // 0 scheduled rows ⇒ no new keys: the set is unchanged, marker only
+        if (!emptySchedule)
+          seen.add(scheduled.select(col("url_hash")), Map("epoch" -> epoch.toString))
         seen.table.markStage(epoch, "seen")
       }
 
     // --- stage 4: next frontier (discovered links + unscheduled backlog) ----
     def runFrontierStage(): Unit = if (!frontier.stageDone(epoch, "frontier")) {
+      // empty schedule AND empty frontier ⇒ no links, nothing to shed:
+      // carry the parent's (empty) content forward, manifest-only. A
+      // NON-empty frontier with an empty schedule must still run the full
+      // stage — its rows are all seen/disallowed and shedding the seen
+      // ones is the stage's job.
+      if (emptySchedule && frontierRowsExact == 0L) {
+        frontier.commitCarry(Map("epoch" -> epoch.toString, "stage" -> "frontier"))
+        frontier.markStage(epoch, "frontier")
+        return
+      }
       // html is not persisted in the output snapshot; re-derive links from
       // the fetch corpus via a semi join on the scheduled set. Past the
       // broadcast threshold the schedule-Bloom prefilter runs in the corpus
@@ -481,7 +537,7 @@ object CrawlEpoch {
     Await.result(Future.sequence(Seq(
       Future(timed("seen")(runSeenStage())),
       Future(timed("frontier")(runFrontierStage())),
-      Future(timed("robots")(runRobotsStage())))),
+      Future(timed("robots")(runRobotsStage(frontierRowsExact == 0L))))),
       Duration.Inf)
 
     RunningEpoch(

@@ -116,11 +116,31 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     // pipelined commit may have an id above the pointer
     val cur = math.max(currentSnapshotId.getOrElse(return None),
       maxManifestId.getOrElse(0L))
-    (cur to 1L by -1L).find { id =>
-      manifest(id).exists { m =>
-        m.has("lineage") && m.get("lineage").has(key) &&
-          m.get("lineage").get(key).asText == value
+    val idx = SnapshotTable.lineageIndex(root)
+    idx.synchronized {
+      // fold manifests committed since the last lookup into the index —
+      // the only per-call cost that grows, and it grows with NEW commits
+      var id = idx.scanned + 1
+      while (id <= cur) {
+        manifest(id).foreach { m =>
+          if (m.has("lineage")) {
+            val lin = m.get("lineage")
+            lin.fieldNames().asScala.foreach { k =>
+              val kv = (k, lin.get(k).asText)
+              idx.byKV(kv) = id :: idx.byKV.getOrElse(kv, Nil)
+            }
+          }
+        }
+        id += 1
       }
+      idx.scanned = math.max(idx.scanned, cur)
+      val hits = idx.byKV.getOrElse((key, value), Nil)
+      // lazily shed expired entries (existence check, no JSON read); the
+      // `<= cur` guard keeps rollback semantics identical to the old scan,
+      // which never looked above the current ceiling
+      val live = hits.filter(h => Files.exists(snapDir.resolve(s"v$h.json")))
+      if (live.size != hits.size) idx.byKV((key, value)) = live
+      live.find(_ <= cur)
     }
   }
 
@@ -136,6 +156,15 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     // after a rollback (current < max) a naive current+1 would collide with
     // and clobber an existing snapshot's manifest
     val id = math.max(parent.getOrElse(0L), maxManifestId.getOrElse(0L)) + 1L
+    // a newly-allocated id at or below the lineage index's watermark means
+    // the root was WIPED and rebuilt in place (ids restarting from 1): the
+    // index describes a dead world — reset it before this commit lands
+    locally {
+      val idx = SnapshotTable.lineageIndex(root)
+      idx.synchronized {
+        if (id <= idx.scanned) { idx.scanned = 0L; idx.byKV.clear() }
+      }
+    }
     val dir = dataDir(id)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -209,6 +238,88 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     }
     id
   }
+
+  /** Manifest-only commit of an EMPTY snapshot with a known schema: no
+    * Spark job, no data files — [[readAt]] serves `row_count == 0`
+    * manifests straight from `schema_json`. For sink tables in an epoch
+    * that produced nothing (a drained crawl), where even a zero-row
+    * distributed write costs a job on the serial epoch floor. */
+  def commitEmpty(schemaJson: String,
+      lineage: Map[String, String] = Map.empty): Long =
+    commitManifestOnly(lineage) { (m, id, _) =>
+      m.put("row_count", 0L)
+      m.put("delta_rows", 0L)
+      m.put("data_dir", dataDir(id).toString)
+      m.put("schema_json", schemaJson)
+      m.putArray("files")
+      ()
+    }
+
+  /** Manifest-only commit that CARRIES the parent snapshot's content
+    * verbatim — same data dirs, same row count, no Spark job, no data
+    * copy. For state tables an empty epoch leaves untouched but whose
+    * lineage must still advance (the epoch happened; resume and metrics
+    * look its snapshot up by lineage). [[expireSnapshots]] keeps the
+    * carried dirs alive while any referencing manifest is retained. */
+  def commitCarry(lineage: Map[String, String] = Map.empty): Long =
+    commitManifestOnly(lineage) { (m, _, parent) =>
+      val pm = parent.flatMap(manifest).getOrElse(
+        sys.error(s"carry commit requires a parent snapshot in $root"))
+      m.put("row_count", pm.get("row_count").asLong)
+      m.put("delta_rows", 0L)
+      m.put("data_dir", pm.get("data_dir").asText)
+      if (pm.has("data_dirs"))
+        m.set[JsonNode]("data_dirs", pm.get("data_dirs").deepCopy[JsonNode]())
+      if (pm.has("schema_json"))
+        m.put("schema_json", pm.get("schema_json").asText)
+      if (pm.has("files"))
+        m.set[JsonNode]("files", pm.get("files").deepCopy[JsonNode]())
+      ()
+    }
+
+  /** Shared manifest-write + pointer-flip protocol of the job-free commits
+    * (same locking, id allocation, wipe-guard and epoch-ordering rules as
+    * [[commitInternal]]). */
+  private def commitManifestOnly(lineage: Map[String, String])(
+      populate: (ObjectNode, Long, Option[Long]) => Unit): Long =
+    SnapshotTable.rootLock(root).synchronized {
+      Files.createDirectories(snapDir)
+      val parent = currentSnapshotId
+      val id = math.max(parent.getOrElse(0L), maxManifestId.getOrElse(0L)) + 1L
+      locally {
+        val idx = SnapshotTable.lineageIndex(root)
+        idx.synchronized {
+          if (id <= idx.scanned) { idx.scanned = 0L; idx.byKV.clear() }
+        }
+      }
+      val m: ObjectNode = mapper.createObjectNode()
+      m.put("snapshot_id", id)
+      m.put("parent_id", parent.getOrElse(0L))
+      populate(m, id, parent)
+      val lin = m.putObject("lineage")
+      lineage.foreach { case (k, v) => lin.put(k, v) }
+      val tmp = snapDir.resolve(s"v$id.json.tmp")
+      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+      Files.move(tmp, snapDir.resolve(s"v$id.json"), StandardCopyOption.ATOMIC_MOVE)
+      def epochOf(sid: Long): Option[Long] =
+        manifest(sid).flatMap { mm =>
+          if (mm.has("lineage") && mm.get("lineage").has("epoch"))
+            scala.util.Try(mm.get("lineage").get("epoch").asText.toLong).toOption
+          else None
+        }
+      val regresses = epochOrdered && (for {
+        cur <- parent
+        curEpoch <- epochOf(cur)
+        newEpoch <- lineage.get("epoch").flatMap(s => scala.util.Try(s.toLong).toOption)
+      } yield newEpoch < curEpoch).getOrElse(false)
+      if (!regresses) {
+        val curTmp = snapDir.resolve("current.tmp")
+        Files.write(curTmp, id.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(curTmp, snapDir.resolve("current"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      id
+    }
 
   /** Expire all but the newest `keepLast` snapshots (Iceberg
     * `expire_snapshots` maintenance): deletes their manifests, their
@@ -315,4 +426,24 @@ object SnapshotTable {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private[table] def rootLock(root: String): AnyRef =
     locks.computeIfAbsent(root, _ => new AnyRef)
+
+  /** Per-root lineage→snapshot-ids index, built INCREMENTALLY: a lookup
+    * scans only manifests committed since the previous lookup (each
+    * manifest JSON is read once per JVM), so [[SnapshotTable
+    * .snapshotForLineage]] costs O(new commits) instead of O(all epochs)
+    * per call — at a 10^5-epoch crawl the old newest→oldest linear scan was
+    * 10^5 driver-side JSON reads per finish(). Manifests are immutable once
+    * written (commit protocol), so scanned ranges never need re-reading;
+    * EXPIRED (deleted) manifests are dropped lazily at lookup via an
+    * existence check, falling back to the next-newest match exactly like
+    * the unindexed scan. JVM-wide like the commit locks: pipelined epochs
+    * touch one root through many instances. */
+  private[table] final class LineageIndex {
+    var scanned: Long = 0L // every id in [1, scanned] has been read
+    val byKV = scala.collection.mutable.Map.empty[(String, String), List[Long]] // ids descending
+  }
+  private val lineageIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, LineageIndex]()
+  private[table] def lineageIndex(root: String): LineageIndex =
+    lineageIndexes.computeIfAbsent(root, _ => new LineageIndex)
 }

@@ -150,6 +150,44 @@ class CrawlEpochSpec extends SparkSpecBase {
     assert(out2.schema.fieldNames.contains("fetch_status"))
   }
 
+  test("drained epoch after the first: ZERO Spark jobs, lineage still advances per table") {
+    import spark.implicits._
+    val pages = SyntheticCorpus.pages(spark, 50).cache()
+    val images = SyntheticCorpus.images(spark, 50).cache()
+    val robots = SyntheticCorpus.robots(spark)
+    val seeds = Seq(("http://site1.example/page/999999", 1.0)).toDF("url", "priority")
+    val root = Files.createTempDirectory("crawlEmptyJobs").toString
+    CrawlEpoch.seed(root, spark, seeds)
+    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 1)
+    CrawlEpoch.run(root, spark, pages, images, Some(robots), budgetPerHost = 5, epoch = 2)
+    // epoch 3: frontier AND schedule provably empty — every stage commits
+    // manifest-only; the epoch's serial floor owes the cluster nothing
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = CrawlEpoch.start(root, spark, pages, images, Some(robots),
+        budgetPerHost = 5, epoch = 3)
+      scala.concurrent.Await.result(r.outDone,
+        scala.concurrent.duration.Duration.Inf)
+      Thread.sleep(300) // listener bus is async; drain before reading the count
+      assert(jobs.get() === 0, s"empty epoch launched ${jobs.get()} Spark jobs")
+      assert(r.scheduled === 0 && r.newFrontier === 0)
+      val m3 = CrawlEpoch.finish(r)
+      assert(m3.fetched === 0 && m3.licensed === 0 && m3.decodeOk === 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // lineage advanced in every table the epoch owns
+    for (t <- Seq("scheduled", "out", "frontier"))
+      assert(new SnapshotTable(s"$root/$t", spark)
+        .snapshotForLineage("epoch", "3").isDefined, s"$t missing epoch-3 lineage")
+    // and the sink snapshot stays typed + readable
+    val out = new SnapshotTable(s"$root/out", spark).read()
+    assert(out.count() === 0 && out.schema.fieldNames.contains("fetch_status"))
+  }
+
   test("two-epoch crawl: identical outputs and final seen-set across parallelism") {
     val (pages, images, seeds, robots) = corpus()
     def runAt(shuffleParts: Int, root: String): (Seq[String], Seq[Long]) = {

@@ -78,6 +78,46 @@ class FrontierSpec extends SparkSpecBase {
     assert(m.get("parent_id").asLong === 1L)
   }
 
+  test("snapshotForLineage: incremental index equals a full scan; expiry and wipe fall back") {
+    import spark.implicits._
+    val root = tmpDir("lineageidx")
+    val t = new SnapshotTable(root, spark)
+    // the un-indexed reference: newest→oldest linear scan over manifests
+    def scanRef(key: String, value: String): Option[Long] = {
+      val cur = t.currentSnapshotId.getOrElse(return None)
+      (cur to 1L by -1L).find(id => t.manifest(id).exists { m =>
+        m.has("lineage") && m.get("lineage").has(key) &&
+          m.get("lineage").get(key).asText == value
+      })
+    }
+    def df = Seq((1L, "x")).toDF("k", "v")
+    t.commit(df, Map("epoch" -> "1"))
+    t.commit(df, Map("epoch" -> "2"))
+    val dup = t.commit(df, Map("epoch" -> "2")) // duplicate: newest must win
+    t.commit(df, Map("epoch" -> "3"))
+    for (e <- Seq("1", "2", "3", "9"))
+      assert(t.snapshotForLineage("epoch", e) === scanRef("epoch", e), s"epoch $e")
+    assert(t.snapshotForLineage("epoch", "2") === Some(dup))
+    // incremental: commits AFTER a lookup are folded in on the next lookup
+    val late = t.commit(df, Map("epoch" -> "2"))
+    assert(t.snapshotForLineage("epoch", "2") === Some(late))
+    // expiry fallback: deleting the newest match's manifest falls back to
+    // the next-newest, exactly like the scan would
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "snapshots", s"v$late.json"))
+    assert(t.snapshotForLineage("epoch", "2") === Some(dup))
+    // wipe + rebuild in place: restarting ids must reset the index, not
+    // serve entries from the dead world
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val t2 = new SnapshotTable(root, spark)
+    val fresh = t2.commit(df, Map("epoch" -> "7"))
+    assert(fresh === 1L)
+    assert(t2.snapshotForLineage("epoch", "7") === Some(fresh))
+    assert(t2.snapshotForLineage("epoch", "2") === None, "stale index served a dead world")
+  }
+
   // --- seen set --------------------------------------------------------------
 
   test("snapshot table: mixed-schema delta chain reads legacy rows as null in new columns") {
