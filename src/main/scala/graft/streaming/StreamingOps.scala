@@ -101,9 +101,70 @@ object StreamingOps {
 
   /** File-source incremental frontier: stream new snapshot files as they are
     * committed; `Trigger.AvailableNow` turns this into exactly the batch
-    * epoch when drained. */
+    * epoch when drained (spec-asserted via [[epochScheduleStream]]). */
   def frontierFileStream(spark: SparkSession, frontierDataDir: String): DataFrame =
     spark.readStream
       .schema("url STRING, priority DOUBLE")
       .parquet(frontierDataDir + "/data/*")
+
+  final case class NormalizedRow(canon_url: String, host: String,
+      url_hash: Long, priority: Double)
+
+  /** The END-TO-END epoch-schedule slice as ONE streaming query:
+    * frontier snapshot files → canonicalize/hash → within-stream seen dedup
+    * (first per url_hash, max-priority witness) → per-host politeness
+    * budget. Ranking matches the batch [[graft.frontier.Scheduler]] contract
+    * EXACTLY — `(priority DESC, url_hash ASC)` within host — so draining a
+    * committed frontier with `Trigger.AvailableNow` yields the same
+    * `(canon_url, host, priority, host_rank)` set as
+    * `Scheduler.scheduleEpoch` on it (robots gating excepted: gate
+    * upstream if needed). That equality is a StreamingSpec assertion, not
+    * prose. Two stateful operators chain in one query (dedup state keyed by
+    * url_hash, budget state keyed by host — both O(keys), exactly the
+    * batch engine's state sharding). */
+  def epochScheduleStream(spark: SparkSession, frontierDataDir: String,
+      budgetPerHost: Long): Dataset[ScheduledRow] = {
+    import spark.implicits._
+    import graft.functions.UrlNormalize
+    val norm = frontierFileStream(spark, frontierDataDir)
+      .as[(String, Double)]
+      .map { case (u, p) =>
+        val canon = UrlNormalize.canonicalize(u)
+        NormalizedRow(canon, UrlNormalize.hostOfCanonical(canon),
+          UrlNormalize.urlHash64(canon), p)
+      }
+    val rank = Ordering.by[NormalizedRow, (Double, Long)](
+      r => (-r.priority, r.url_hash))
+    // stage 1: first arrival per url_hash wins, best-rank witness in-batch
+    val deduped = norm
+      .groupByKey(_.url_hash)
+      .flatMapGroupsWithState[SeenState, NormalizedRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[SeenState]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(SeenState(seen = true)); Iterator.single(rows.min(rank)) }
+      }
+    // stage 2: per-host lifetime budget, bounded heap, batch-identical rank
+    deduped
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostBudgetState, ScheduledRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (host, rows, state: GroupState[HostBudgetState]) =>
+          val emitted = state.getOption.map(_.emitted).getOrElse(0L)
+          val take = math.max(0L, budgetPerHost - emitted).toInt
+          val heap = new scala.collection.mutable.PriorityQueue[NormalizedRow]()(rank)
+          rows.foreach { r =>
+            if (take > 0) {
+              if (heap.size < take) heap.enqueue(r)
+              else if (rank.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+            }
+          }
+          val kept: Seq[NormalizedRow] = heap.dequeueAll
+          val chosen = kept.reverse.zipWithIndex.map { case (r, i) =>
+            ScheduledRow(r.canon_url, host, r.priority, emitted + i + 1)
+          }
+          state.update(HostBudgetState(emitted + chosen.size))
+          chosen.iterator
+      }
+  }
 }

@@ -112,6 +112,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(urls === Seq("http://a/1", "http://a/2", "http://b/1"))
   }
 
+  test("end-to-end schedule stream: AvailableNow drain equals the batch epoch schedule") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("e2estream").toString
+    val table = new graft.table.SnapshotTable(root, spark)
+    // canonicalization traps (case, default port, fragment, dup spellings)
+    // + PRIORITY TIES within hosts, so equality can only hold if the stream
+    // ranks by the batch contract (priority DESC, url_hash ASC) — not by
+    // url text — and dedups by canonical hash like normalize() does
+    val rows = Seq(
+      ("http://A.example/x", 2.0), ("http://a.example:80/x#frag", 5.0),
+      ("http://a.example/y", 3.0), ("http://a.example/z", 3.0),
+      ("http://a.example/w", 3.0), ("http://a.example/q", 1.0),
+      ("http://b.example/1", 1.0), ("http://b.example/2", 1.0),
+      ("http://b.example/3", 1.0), ("http://c.example/only", 7.0))
+    table.commit(rows.take(6).toDF("url", "priority"))
+    // DELTA commit: table content = all 10 rows (what the batch twin reads),
+    // and the stream sees the same rows as two snapshot files
+    table.commitDelta(rows.drop(6).toDF("url", "priority"))
+    val budget = 2
+    // batch twin: full Scheduler on the same raw frontier, empty seen set
+    val seen = new graft.frontier.SeenSet(
+      java.nio.file.Files.createTempDirectory("e2eseen").toString, spark)
+    val batch = graft.frontier.Scheduler.scheduleEpoch(
+      table.read().select("url", "priority"), seen, None, budgetPerHost = budget)
+      .select(col("canon_url"), col("host"), col("priority"), col("host_rank"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val q = StreamingOps.epochScheduleStream(spark, root, budgetPerHost = budget)
+      .writeStream.format("memory").queryName("e2e_sched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("e2e_sched").as[ScheduledRow].collect()
+      .map(r => (r.url, r.host, r.priority, r.hostSlot.toInt)).toSet
+    assert(streamed === batch,
+      s"stream ${streamed.toSeq.sorted} != batch ${batch.toSeq.sorted}")
+    assert(streamed.nonEmpty && streamed.size === batch.size)
+  }
+
   test("watermarked windowed counts over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
