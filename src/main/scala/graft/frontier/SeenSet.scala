@@ -57,10 +57,18 @@ import org.apache.spark.util.sketch.BloomFilter
   *        probe stage to use, and each task's resident filter bytes are
   *        `totalFilterBytes / S` (~750 MB at 10^10 keys with S=16; S=256
   *        brings it under 50 MB).
+  * @param fpp Bloom false-positive rate, a FIRST-BUILD parameter like the
+  *        fan-out (bit-array geometry must match for the parent-shard
+  *        OR-merge): recorded in `bloom-meta.json`, recorded value wins on
+  *        an existing root. The residency/confirm-work dial at scale —
+  *        3% cuts resident filter bytes ~1.6× vs 1% at the cost of ~3× the
+  *        exact-join confirms on unseen probes (measured: ProbeFppSweep,
+  *        BASELINE.md round 5).
   */
 final class SeenSet(root: String, spark: SparkSession,
     expectedKeys: Long = SeenSet.DefaultExpectedKeys,
-    shardCount: Int = SeenSet.ShardCount) {
+    shardCount: Int = SeenSet.ShardCount,
+    fpp: Double = SeenSet.DefaultFpp) {
 
   import SeenSet.MaxChainLength
 
@@ -68,6 +76,9 @@ final class SeenSet(root: String, spark: SparkSession,
     * constructor's for a root this instance is about to build. */
   private def S: Int =
     if (ShardMeta.isRecorded(root)) ShardMeta.countFor(root) else shardCount
+
+  /** Effective fpp (recorded value wins, like [[S]]). */
+  private def F: Double = recordedFpp.getOrElse(fpp)
 
   val table = new SnapshotTable(root, spark)
 
@@ -208,21 +219,30 @@ final class SeenSet(root: String, spark: SparkSession,
   }
 
   /** Per-shard Bloom capacity, fixed at first build (merge compatibility).
-    * Format: JSON `{"per_shard":N,"shard_count":S}`; a bare long is the
-    * pre-shard-count legacy format (fan-out 16). */
-  private def shardCapacity: Option[Long] =
+    * Format: JSON `{"per_shard":N,"shard_count":S,"fpp":F}`; a bare long is
+    * the pre-shard-count legacy format (fan-out 16, fpp 1%). */
+  private def bloomMeta: Option[com.fasterxml.jackson.databind.JsonNode] =
     if (Files.exists(metaPath)) {
       val s = new String(Files.readAllBytes(metaPath)).trim
       if (s.startsWith("{"))
-        Some(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(s).get("per_shard").asLong)
-      else Some(s.toLong)
+        Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(s))
+      else None
     } else None
+
+  private def shardCapacity: Option[Long] =
+    bloomMeta.map(_.get("per_shard").asLong).orElse {
+      if (Files.exists(metaPath))
+        Some(new String(Files.readAllBytes(metaPath)).trim.toLong)
+      else None
+    }
+
+  private def recordedFpp: Option[Double] =
+    bloomMeta.filter(_.has("fpp")).map(_.get("fpp").asDouble)
 
   private def writeShardCapacity(perShard: Long): Unit = {
     val tmp = Paths.get(root, "snapshots", "bloom-meta.json.tmp")
     Files.createDirectories(metaPath.getParent)
-    Files.write(tmp, s"""{"per_shard":$perShard,"shard_count":$S}""".getBytes)
+    Files.write(tmp, s"""{"per_shard":$perShard,"shard_count":$S,"fpp":$F}""".getBytes)
     Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -241,7 +261,7 @@ final class SeenSet(root: String, spark: SparkSession,
       val perShard = math.max(1000L, math.max(expectedKeys, 4 * n) / S)
       writeShardCapacity(perShard)
       SeenSet.buildWriteShards(root, id, table.readAt(id), perShard,
-        knownRows = n, shardCount = S)
+        knownRows = n, shardCount = S, fpp = F)
       id
     } else {
       // a re-added retracted key just loses its tombstone (it is already in
@@ -268,7 +288,7 @@ final class SeenSet(root: String, spark: SparkSession,
           else perShard
         writeShardCapacity(newPerShard)
         SeenSet.buildWriteShards(root, cid, table.readAt(cid), newPerShard,
-          knownRows = total, shardCount = S)
+          knownRows = total, shardCount = S, fpp = F)
         cid
       } else {
         // delta-only Bloom build, reading back the just-committed delta files
@@ -279,7 +299,7 @@ final class SeenSet(root: String, spark: SparkSession,
         val deltaDir = m.get("data_dir").asText
         SeenSet.buildWriteShards(root, id, spark.read.parquet(deltaDir),
           perShard, mergeParentId = Some(parent),
-          knownRows = m.get("delta_rows").asLong, shardCount = S)
+          knownRows = m.get("delta_rows").asLong, shardCount = S, fpp = F)
         id
       }
     }
@@ -426,6 +446,10 @@ object SeenSet {
     * own; outgrowing it only triggers compaction). */
   val DefaultExpectedKeys: Long = 4L * 1000 * 1000
 
+  /** Default Bloom sidecar false-positive rate (a first-build parameter of
+    * [[SeenSet]]; per-epoch schedule/image sidecars always use this). */
+  val DefaultFpp: Double = 0.01
+
   def shardOf(h: Long, shardCount: Int): Int =
     (((h % shardCount) + shardCount) % shardCount).toInt
 
@@ -492,7 +516,8 @@ object SeenSet {
   private[graft] def buildWriteShards(root: String, id: Long, keysDf: DataFrame,
       perShard: Long, mergeParentId: Option[Long] = None,
       knownRows: Long = Long.MaxValue,
-      shardCount: Int = ShardCount): Unit = {
+      shardCount: Int = ShardCount,
+      fpp: Double = DefaultFpp): Unit = {
     val spark = keysDf.sparkSession
     import spark.implicits._
     // the fan-out record must exist BEFORE any shard file: probes resolve
@@ -502,19 +527,20 @@ object SeenSet {
         perShard <= DriverShardCapacityMax) {
       val keys = keysDf.select(col("url_hash")).as[Long].collect()
       val shards = Array.tabulate(shardCount)(s =>
-        freshOrParentShard(root, mergeParentId, perShard, s))
+        freshOrParentShard(root, mergeParentId, perShard, s, fpp))
       keys.foreach(h => shards(shardOf(h, shardCount)).putLong(h))
       writeShardFiles(root, id, shards)
     } else {
       // closure captures only plain values + object methods (a nested def
       // here would drag the whole method frame — SparkSession included —
       // into the task and fail serialization)
-      val (rootC, idC, parentC, capC, sC) = (root, id, mergeParentId, perShard, shardCount)
+      val (rootC, idC, parentC, capC, sC, fppC) =
+        (root, id, mergeParentId, perShard, shardCount, fpp)
       keysDf.select(col("url_hash")).as[Long].rdd
         .map(h => (shardOf(h, sC), h))
         .partitionBy(new ShardPartitioner(sC))
         .mapPartitionsWithIndex { (shard, it) =>
-          val bf = freshOrParentShard(rootC, parentC, capC, shard)
+          val bf = freshOrParentShard(rootC, parentC, capC, shard, fppC)
           it.foreach { case (_, h) => bf.putLong(h) }
           val attempt = Option(org.apache.spark.TaskContext.get())
             .map(tc => s".a${tc.taskAttemptId()}").getOrElse("")
@@ -529,11 +555,12 @@ object SeenSet {
     * shard read from the shared snapshot store, or a fresh filter. Called
     * from executor tasks (distributed build) and the driver fast path. */
   private def freshOrParentShard(root: String, parentId: Option[Long],
-      perShard: Long, shard: Int): BloomFilter = parentId match {
-    case Some(pid) => BloomFilter.readFrom(new java.io.ByteArrayInputStream(
-      Files.readAllBytes(bloomShardPath(root, pid, shard))))
-    case None => BloomFilter.create(perShard, 0.01)
-  }
+      perShard: Long, shard: Int, fpp: Double = DefaultFpp): BloomFilter =
+    parentId match {
+      case Some(pid) => BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+        Files.readAllBytes(bloomShardPath(root, pid, shard))))
+      case None => BloomFilter.create(perShard, fpp)
+    }
 
   private[graft] def shardFilesPresent(root: String, id: Long): Boolean =
     (0 until ShardMeta.countFor(root)).forall(s =>

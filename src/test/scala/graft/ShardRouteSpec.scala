@@ -97,6 +97,33 @@ class ShardRouteSpec extends SparkSpecBase {
     assert(ShardMeta.countFor(root) === 4)
   }
 
+  test("fpp is a recorded first-build parameter: geometry fixed, membership exact either way") {
+    import spark.implicits._
+    val rootLoose = tmpDir("seenFpp")
+    val loose = new SeenSet(rootLoose, spark, shardCount = 4, fpp = 0.2)
+    loose.add((0L until 3000L).toDF("url_hash"))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(rootLoose, "snapshots", "bloom-meta.json")))
+    assert(meta.contains("\"fpp\":0.2"), s"fpp not recorded: $meta")
+    // a later instance asking for a different fpp gets the recorded one
+    // (OR-merge needs identical bit geometry); membership stays exact
+    val later = new SeenSet(rootLoose, spark, shardCount = 4, fpp = 0.001)
+    later.add((3000L until 3500L).toDF("url_hash"))
+    val out = later.filterUnseen((2000L until 4000L).toDF("url_hash"))
+    assert(out.as[Long].collect().sorted.toSeq === (3500L until 4000L).toSeq)
+    // tighter-fpp root is strictly larger on disk for the same keys
+    def sidecarBytes(r: String): Long =
+      java.nio.file.Files.list(Paths.get(r, "snapshots")).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.matches("bloom-v\\d+-s\\d+\\.bin"))
+        .map(java.nio.file.Files.size).sum
+    val rootTight = tmpDir("seenFppTight")
+    val tight = new SeenSet(rootTight, spark, shardCount = 4, fpp = 0.001)
+    tight.add((0L until 3000L).toDF("url_hash"))
+    assert(sidecarBytes(rootTight) > sidecarBytes(rootLoose),
+      "tighter fpp must cost more filter bytes")
+  }
+
   test("filterUnseenRouted: byte-equal rows, one shard per task, probe in a post-exchange stage") {
     import spark.implicits._
     val root = tmpDir("seenRoute")
