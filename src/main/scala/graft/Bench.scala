@@ -126,12 +126,38 @@ object Bench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // In-artifact window-health counters (same role as the ceiling probe:
+    // attribute cross-run drift WITHOUT out-of-band notes). gcSec() = this
+    // JVM's cumulative stop-the-world GC wall; stealTicks() = the host's
+    // cumulative CPU-steal jiffies (/proc/stat field 8) — on a shared VM,
+    // steal is the "someone else has the cores" signal the xorshift probe
+    // only samples at two instants. Deltas around each timed section are
+    // emitted in the crawl JSON.
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
+    def stealTicks(): Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        val f = cpu.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } catch { case _: Exception => -1L }
+    def winSample(): (Double, Long) = (gcSec(), stealTicks())
+    def winJson(b: (Double, Long), a: (Double, Long)): String = {
+      val steal = if (b._2 < 0 || a._2 < 0) -1L else a._2 - b._2
+      f"""{"gc_sec":${a._1 - b._1}%.2f,"steal_ticks":$steal}"""
+    }
+
     // --- operator query timings ---------------------------------------------
     // SPARK_GRAFT_PRERUN=a,b,c is a diagnostic knob: pre-run the named
     // queries untimed to separate one-off costs (janino compile, state
     // setup) from per-row cost in a window-matched way.
     val preruns = sys.env.get("SPARK_GRAFT_PRERUN")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val wQueries0 = winSample()
     val queryTimes: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -148,6 +174,7 @@ object Bench {
         }
         name -> secs
       }
+    val wQueries1 = winSample()
 
     // raw-CPU ceiling, measured immediately BEFORE the crawl section (and
     // again after it, below): bounds what any 8→32 scaling number can mean
@@ -213,6 +240,7 @@ object Bench {
     // epochs measure engine throughput — the reproducible quantity — instead
     // of JIT state. Two warmup epochs: epoch ≥2 takes extra plan shapes
     // (non-empty seen-set sidecar merge) that epoch 1 never compiles.
+    val wWarmup0 = winSample()
     val warmupJson =
       if (sys.env.get("SPARK_GRAFT_WARMUP").contains("0")) ""
       else {
@@ -237,6 +265,7 @@ object Bench {
     // the total is the pipelined wall. SPARK_GRAFT_PIPELINE=0 forces the
     // sequential run/finish path (e.g. to read per-epoch full-epoch times).
     val pipelined = !sys.env.get("SPARK_GRAFT_PIPELINE").contains("0") && nEpochs > 1
+    val wEpochs0 = winSample()
     val (epochResults, crawlSecs) =
       if (pipelined) {
         val t0 = System.nanoTime()
@@ -257,6 +286,7 @@ object Bench {
         }
         (rs, rs.map(_._2).sum)
       }
+    val wEpochs1 = winSample()
     // cross-epoch metrics: flows are summed, the frontier is a final state
     val totalScheduled = epochResults.map(_._1.scheduled).sum
     val totalFetched = epochResults.map(_._1.fetched).sum
@@ -278,6 +308,7 @@ object Bench {
     //   ceiling   — the raw-CPU probe, once before the crawl and once after.
     val selfNorm = selfNormMode != "0"
     val fullNorm = selfNorm && selfNormMode != "ceiling"
+    val wRepeat0 = winSample()
     val repeatRun: Option[(Double, Long)] = if (fullNorm) {
       val r2 = freshRoot(); extraRoots += r2
       CrawlEpoch.seed(r2, spark, seeds)
@@ -291,6 +322,7 @@ object Bench {
     // the residual one-off cost the warmup did NOT absorb. With warmup on
     // this should sit near 0; a large value flags a degraded window in the
     // artifact itself.
+    val wRepeat1 = winSample()
     val repeatJson = repeatRun.map { case (sec, sched) =>
       f""","repeat":{"sec":$sec%.2f,"scheduled":$sched,"urls_per_sec":${sched / sec}%.1f},"cold_extra_sec":${epochResults.head._2 - sec}%.2f"""
     }.getOrElse("")
@@ -308,6 +340,13 @@ object Bench {
       val ups = sched / sec
       f""","sustained":{"epochs":3,"pipelined":true,"sec":$sec%.2f,"scheduled":$sched,"urls_per_sec":$ups%.1f}"""
     } else ""
+    val wSustained1 = winSample()
+    // per-section GC wall + host CPU-steal deltas: the drift-attribution data
+    // the round-4 verdict's findings #1-#3 had to reconstruct out-of-band.
+    // A section whose time regressed WITHOUT a gc/steal spike is a real code
+    // regression; with one, it's window weather — readable from the JSON.
+    val windowJson =
+      s""","window":{"queries":${winJson(wQueries0, wQueries1)},"warmup":${winJson(wWarmup0, wEpochs0)},"epochs":${winJson(wEpochs0, wEpochs1)},"repeat":${winJson(wRepeat0, wRepeat1)},"sustained":${winJson(wRepeat1, wSustained1)}}"""
 
     // the post probe runs AFTER spark.stop(): a probe sampled while the JVM
     // still drains task-cleanup/GC work reads a contaminated baseline (one
@@ -335,7 +374,7 @@ object Bench {
       f""","value_repeat":${sched / sec}%.1f""" }.getOrElse("")
     val localDir = if (shmBase != null) shmBase else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     println(
-      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f$valueRepeatJson,"unit":"urls/sec","local_dir":"$localDir","tmpfs":${shmBase != null},"total_sec":${crawlSecs + totalQuerySecs}%.2f,"total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"epochs":$nEpochs,"pipelined":$pipelined,"scheduled":$totalScheduled,"fetched":$totalFetched,"licensed":$totalLicensed,"decode_ok":$totalDecodeOk,"new_frontier":$lastFrontier,"sec":$crawlSecs%.2f,"epoch_sec":$epochSecs,"epoch_scheduled":$epochScheduled,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus$warmupJson$repeatJson$sustainedJson}$ceilingJson,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"crawl epoch: URLs scheduled+fetched/sec","value":$urlsPerSec%.1f$valueRepeatJson,"unit":"urls/sec","local_dir":"$localDir","tmpfs":${shmBase != null},"total_sec":${crawlSecs + totalQuerySecs}%.2f,"total_query_sec":$totalQuerySecs%.2f,"crawl":{"pages":$nPages,"images":$nImagesReal,"epochs":$nEpochs,"pipelined":$pipelined,"scheduled":$totalScheduled,"fetched":$totalFetched,"licensed":$totalLicensed,"decode_ok":$totalDecodeOk,"new_frontier":$lastFrontier,"sec":$crawlSecs%.2f,"epoch_sec":$epochSecs,"epoch_scheduled":$epochScheduled,"urls_per_sec":$urlsPerSec%.1f,"cpus":$cpus$warmupJson$repeatJson$sustainedJson}$ceilingJson$windowJson,"queries":$qs,"sf":"$sfDir"}""")
     // best-effort cleanup: tmpfs must not accumulate across rounds
     (root +: extraRoots.toSeq).foreach { r =>
       try {
