@@ -66,6 +66,52 @@ object Bench {
       Seq(runAt(cpus), runAt(cpus)).min))
   }
 
+  /** Memory-BANDWIDTH ceiling probe: same harness as [[ceilingProbe]] but the
+    * kernel streams cache lines (64 tasks × 16 MB, stride-64B sums — aggregate
+    * working set ~1 GB, far past any LLC) instead of spinning ALU. The two
+    * ceilings bracket what 8→N thread scaling can mean on ONE node: pure-ALU
+    * work tracks the xorshift probe (~3.5-3.9× at 4× threads here); work
+    * bound by the shared memory bus tracks THIS probe (measured ~2.0× at 4×
+    * threads on this host — the bus saturates). A mixed workload like the
+    * crawl epoch (parquet encode, shuffle serialization, html/image byte
+    * scans are all bandwidth-heavy) lands between them, and the gap is a
+    * SINGLE-NODE artifact: a real N→4N EXECUTOR scale-up multiplies memory
+    * buses with cores, so the cluster criterion sees neither ceiling. */
+  private def memProbe(cpus: Int): Option[(Int, Double, Double)] = {
+    val base = if (cpus >= 8) 8 else math.max(1, cpus / 4)
+    if (cpus <= base) return None
+    val tasks = 64
+    val words = 16 * 131072 // 16 MB of longs per task
+    val arrays = Array.tabulate(tasks)(t =>
+      Array.tabulate(words)(i => (t * words + i).toLong))
+    def work(arr: Array[Long]): Long = {
+      var s = 0L
+      var rep = 0
+      while (rep < 32) { // ≥0.2 s per timed level: short samples read noise
+        var i = 0
+        while (i < arr.length) { s += arr(i); i += 8 } // one cache line per load
+        rep += 1
+      }
+      s
+    }
+    def runAt(threads: Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val t0 = System.nanoTime()
+        val futs = arrays.toIndexedSeq.map { arr =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = work(arr)
+          })
+        }
+        futs.foreach(f => probeSink ^= f.get())
+        (System.nanoTime() - t0) / 1e9
+      } finally pool.shutdown()
+    }
+    runAt(cpus) // JIT warmup, untimed
+    Some((base, Seq(runAt(base), runAt(base)).min,
+      Seq(runAt(cpus), runAt(cpus)).min))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -353,6 +399,10 @@ object Bench {
     // observed sample: t8 8.0 s vs the true ~1.5 s, "efficiency" 1.20)
     spark.stop()
     val postProbe = cpusInt.filter(_ => selfNorm).flatMap(ceilingProbe)
+    // bandwidth probe only AFTER spark.stop(): its ~1 GB transient working
+    // set next to a live cache-holding session would perturb the timed
+    // sections it exists to normalize
+    val memPost = cpusInt.filter(_ => selfNorm).flatMap(memProbe)
     def probeJson(p: Option[(Int, Double, Double)]): String =
       p.map { case (base, tBase, tN) =>
         val speedup = tBase / tN
@@ -360,7 +410,7 @@ object Bench {
       }.getOrElse("null")
     val ceilingJson =
       if (selfNorm)
-        s""","ceiling":{"probe":"64 equal xorshift tasks, fixed pool of base vs $cpus threads","pre":${probeJson(preProbe)},"post":${probeJson(postProbe)}}"""
+        s""","ceiling":{"probe":"64 equal xorshift tasks, fixed pool of base vs $cpus threads","pre":${probeJson(preProbe)},"post":${probeJson(postProbe)},"mem_probe":"64 x 16 MB stride-64B streaming sums (shared-bus ceiling)","mem_post":${probeJson(memPost)}}"""
       else ""
 
     val totalQuerySecs = queryTimes.map(_._2).sum
