@@ -386,11 +386,22 @@ object CrawlEpoch {
           .withColumn("fetch_status",
             when(col("page_url").isNotNull, 200).otherwise(404))
       }
-      // Persist the narrow fetched rows once: they feed both the fetched
-      // image-id set (which bounds the decode below) and the final join,
-      // without recomputing the license extraction.
-      val licensed = fetched.drop("page_url", "page_hash")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Broadcast path: the persisted licensed frame feeds both the fetched
+      // image-id set and the final join — affordable exactly when the
+      // schedule is broadcast-small, and cheaper than re-scanning the corpus
+      // (a second large broadcast build measured +50% on the 4M epoch).
+      // Fallback path (the NORMAL case at a 10^10-URL frontier): NO persist —
+      // a schedule-sized WIDE cache write+read per epoch is storage the
+      // frontier doesn't have — the id set comes from a NARROW key semi join
+      // instead (the links stage's shape: corpus scan pruned to url/image_id
+      // columns, store-bucket-pruned, Bloom-prefiltered), and license
+      // extraction runs once, inside the write job's corpus-scan stage.
+      val persistLicensed = schedRows <= broadcastMax
+      val licensed0 = fetched.drop("page_url", "page_hash")
+      val licensed =
+        if (persistLicensed)
+          licensed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else licensed0
       try {
         // Decode ∝ FETCHED images, never ∝ the image corpus: an epoch whose
         // schedule touches 0.1% of the store must not decode the other
@@ -400,7 +411,16 @@ object CrawlEpoch {
         // positives decode wastefully at ~1% and then vanish in the final
         // left join — the exact check; false negatives do not exist). Blobs
         // are projected away pre-exchange either way.
-        val fetchedIds = licensed.select(col("image_id"))
+        // The fallback-path semi join yields exactly licensed's non-null
+        // image ids: hash matches are re-checked on the URL string, and 404
+        // rows carry no image_id.
+        val fetchedIds = (
+          if (persistLicensed) licensed
+          else bloomPrefiltered(pagesHashed).join(
+            scheduled.select(col("url_hash"), col("canon_url")),
+            col("page_hash") === col("url_hash") &&
+              col("page_url") === col("canon_url"), "left_semi"))
+          .select(col("image_id"))
           .where(col("image_id").isNotNull).distinct()
         // The sidecar is keyed by the SCHEDULE snapshot id; with no schedule
         // manifest (shouldn't happen) there is no collision-free key — an
@@ -442,7 +462,7 @@ object CrawlEpoch {
           Map("epoch" -> epoch.toString, "stage" -> "out"),
           partitionBy = Seq("fetch_status"))
         outTable.markStage(epoch, "out")
-      } finally licensed.unpersist(blocking = false)
+      } finally if (persistLicensed) licensed.unpersist(blocking = false)
     }
 
     // --- stage 3: seen-set update (incremental: delta snapshot + merged
