@@ -302,8 +302,14 @@ object CrawlEpoch {
         .withColumnsRenamed(Map("url" -> "page_url"))
         .withColumn("page_hash", GraftFunctions.urlHash64(col("page_url")))
     }
+    // Default lowered 4M → 1M rows in round 5: at 3.2M scheduled rows the
+    // fallback (Bloom-sidecar prefilter, no persist) measured FASTER than
+    // the schedule broadcast at both local[8] (75.5 vs 95.9 s) and local[32]
+    // (51.0 vs 57.7 s) — a multi-hundred-MB broadcast build costs more than
+    // the sidecar it avoids. ~1M rows ≈ the tens-of-MB broadcast region
+    // where the broadcast path still wins.
     val broadcastMax = graft.core.GraftConf.longKnob(spark,
-      "graft.bcastSchedMax", "SPARK_GRAFT_BCAST_SCHED_MAX", 4000000L)
+      "graft.bcastSchedMax", "SPARK_GRAFT_BCAST_SCHED_MAX", 1000000L)
     // Schedule-keyed Bloom sidecar for schedules too large to broadcast (the
     // NORMAL case at a 10^10-URL frontier): written next to the schedule
     // snapshot (GC'd by expireSnapshots), probed by the codegen'd
