@@ -35,24 +35,34 @@ object Bench {
     * threads: with cpus < 8 an 8-thread baseline would OVERSUBSCRIBE the
     * host and read a nonsense super-linear "efficiency"; cpus ≤ baseline
     * skips the probe entirely (nothing to compare). */
-  private def ceilingProbe(cpus: Int): Option[(Int, Double, Double)] = {
-    val base = if (cpus >= 8) 8 else math.max(1, cpus / 4)
-    if (cpus <= base) return None
-    val tasks = 64
-    val iters = 100000000L
-    def work(seed: Long): Long = {
-      var x = seed | 1L
+  private def ceilingProbe(cpus: Int): Option[(Int, Double, Double)] =
+    scalingProbe(cpus, { t =>
+      val iters = 100000000L
+      var x = t.toLong | 1L
       var i = 0L
       while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       x
-    }
+    })
+
+  /** Shared probe harness (one methodology for BOTH ceilings, so their
+    * bracket stays comparable): 64 equal tasks of `work(taskIndex)` on a
+    * fixed pool of base vs `cpus` threads, one untimed JIT warmup at `cpus`,
+    * then min-of-2 per level — a single sample is contaminated by whatever
+    * background work (GC, task cleanup) the JVM still has in flight.
+    * Returns (baseThreads, tBase, tN); None when cpus ≤ base (the baseline
+    * clamps so a sub-8-cpu host is never oversubscribed into a nonsense
+    * super-linear "efficiency"). */
+  private def scalingProbe(cpus: Int, work: Int => Long): Option[(Int, Double, Double)] = {
+    val base = if (cpus >= 8) 8 else math.max(1, cpus / 4)
+    if (cpus <= base) return None
+    val tasks = 64
     def runAt(threads: Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       try {
         val t0 = System.nanoTime()
         val futs = (1 to tasks).map { t =>
           pool.submit(new java.util.concurrent.Callable[Long] {
-            def call(): Long = work(t.toLong)
+            def call(): Long = work(t)
           })
         }
         futs.foreach(f => probeSink ^= f.get())
@@ -60,8 +70,6 @@ object Bench {
       } finally pool.shutdown()
     }
     runAt(cpus) // JIT warmup, untimed
-    // min of 2 per level: a single sample is contaminated by whatever
-    // background work (GC, task cleanup) the JVM still has in flight
     Some((base, Seq(runAt(base), runAt(base)).min,
       Seq(runAt(cpus), runAt(cpus)).min))
   }
@@ -78,13 +86,11 @@ object Bench {
     * SINGLE-NODE artifact: a real N→4N EXECUTOR scale-up multiplies memory
     * buses with cores, so the cluster criterion sees neither ceiling. */
   private def memProbe(cpus: Int): Option[(Int, Double, Double)] = {
-    val base = if (cpus >= 8) 8 else math.max(1, cpus / 4)
-    if (cpus <= base) return None
-    val tasks = 64
     val words = 16 * 131072 // 16 MB of longs per task
-    val arrays = Array.tabulate(tasks)(t =>
+    val arrays = Array.tabulate(64)(t =>
       Array.tabulate(words)(i => (t * words + i).toLong))
-    def work(arr: Array[Long]): Long = {
+    scalingProbe(cpus, { t =>
+      val arr = arrays(t - 1)
       var s = 0L
       var rep = 0
       while (rep < 32) { // ≥0.2 s per timed level: short samples read noise
@@ -93,23 +99,7 @@ object Bench {
         rep += 1
       }
       s
-    }
-    def runAt(threads: Int): Double = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      try {
-        val t0 = System.nanoTime()
-        val futs = arrays.toIndexedSeq.map { arr =>
-          pool.submit(new java.util.concurrent.Callable[Long] {
-            def call(): Long = work(arr)
-          })
-        }
-        futs.foreach(f => probeSink ^= f.get())
-        (System.nanoTime() - t0) / 1e9
-      } finally pool.shutdown()
-    }
-    runAt(cpus) // JIT warmup, untimed
-    Some((base, Seq(runAt(base), runAt(base)).min,
-      Seq(runAt(cpus), runAt(cpus)).min))
+    })
   }
 
   def main(args: Array[String]): Unit = {
@@ -186,16 +176,22 @@ object Bench {
     }
     def stealTicks(): Long =
       try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu ")).getOrElse("")
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val cpu =
+          try src.getLines().find(_.startsWith("cpu ")).getOrElse("")
+          finally src.close()
         val f = cpu.trim.split("\\s+")
         if (f.length > 8) f(8).toLong else -1L
       } catch { case _: Exception => -1L }
     def winSample(): (Double, Long) = (gcSec(), stealTicks())
-    def winJson(b: (Double, Long), a: (Double, Long)): String = {
-      val steal = if (b._2 < 0 || a._2 < 0) -1L else a._2 - b._2
-      f"""{"gc_sec":${a._1 - b._1}%.2f,"steal_ticks":$steal}"""
-    }
+    def winDelta(b: (Double, Long), a: (Double, Long)): (Double, Long) =
+      (a._1 - b._1, if (b._2 < 0 || a._2 < 0) -1L else a._2 - b._2)
+    // a section that never ran emits null, NOT a zero delta — a zero would
+    // read as "ran in a clean window", the exact misattribution this object
+    // exists to prevent
+    def winJson(d: Option[(Double, Long)]): String =
+      d.map { case (gc, st) => f"""{"gc_sec":$gc%.2f,"steal_ticks":$st}""" }
+        .getOrElse("null")
 
     // --- operator query timings ---------------------------------------------
     // SPARK_GRAFT_PRERUN=a,b,c is a diagnostic knob: pre-run the named
@@ -203,7 +199,12 @@ object Bench {
     // setup) from per-row cost in a window-matched way.
     val preruns = sys.env.get("SPARK_GRAFT_PRERUN")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val wQueries0 = winSample()
+    // the queries window accumulates deltas around the TIMED runs only —
+    // charging pre-run GC/steal to a section whose seconds exclude the
+    // pre-runs would break "regressed without a gc spike ⇒ real regression"
+    var queriesGc = 0.0
+    var queriesSteal = 0L
+    var queriesStealOk = true
     val queryTimes: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -214,13 +215,19 @@ object Bench {
         if (name == "q1_agg" || name == "q_seen_retract" ||
             name == "q_pagestore" || preruns(name))
           try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => }
+        val wb = winSample()
         val (_, secs) = time {
           try fn(spark, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
         }
+        val wd = winDelta(wb, winSample())
+        queriesGc += wd._1
+        if (wd._2 < 0) queriesStealOk = false else queriesSteal += wd._2
         name -> secs
       }
-    val wQueries1 = winSample()
+    val queriesWin: Option[(Double, Long)] =
+      if (queryTimes.isEmpty) None
+      else Some((queriesGc, if (queriesStealOk) queriesSteal else -1L))
 
     // raw-CPU ceiling, measured immediately BEFORE the crawl section (and
     // again after it, below): bounds what any 8→32 scaling number can mean
@@ -286,9 +293,10 @@ object Bench {
     // epochs measure engine throughput — the reproducible quantity — instead
     // of JIT state. Two warmup epochs: epoch ≥2 takes extra plan shapes
     // (non-empty seen-set sidecar merge) that epoch 1 never compiles.
+    val warmupRan = !sys.env.get("SPARK_GRAFT_WARMUP").contains("0")
     val wWarmup0 = winSample()
     val warmupJson =
-      if (sys.env.get("SPARK_GRAFT_WARMUP").contains("0")) ""
+      if (!warmupRan) ""
       else {
         val wRoot = freshRoot(); extraRoots += wRoot
         val wSeeds = SyntheticCorpus.seedUrls(spark, 4000, pageCount = nPages)
@@ -370,7 +378,13 @@ object Bench {
     // artifact itself.
     val wRepeat1 = winSample()
     val repeatJson = repeatRun.map { case (sec, sched) =>
-      f""","repeat":{"sec":$sec%.2f,"scheduled":$sched,"urls_per_sec":${sched / sec}%.1f},"cold_extra_sec":${epochResults.head._2 - sec}%.2f"""
+      // cold_extra is only meaningful when epoch_sec[0] is a FULL epoch:
+      // pipelined per-epoch times measure the state stages alone, which the
+      // full repeat epoch is not comparable to
+      val coldExtra =
+        if (pipelined) ""
+        else f""","cold_extra_sec":${epochResults.head._2 - sec}%.2f"""
+      f""","repeat":{"sec":$sec%.2f,"scheduled":$sched,"urls_per_sec":${sched / sec}%.1f}$coldExtra"""
     }.getOrElse("")
     val sustainedJson = if (fullNorm && nEpochs == 1) {
       val r3 = freshRoot(); extraRoots += r3
@@ -387,12 +401,13 @@ object Bench {
       f""","sustained":{"epochs":3,"pipelined":true,"sec":$sec%.2f,"scheduled":$sched,"urls_per_sec":$ups%.1f}"""
     } else ""
     val wSustained1 = winSample()
+    val sustainedRan = fullNorm && nEpochs == 1
     // per-section GC wall + host CPU-steal deltas: the drift-attribution data
     // the round-4 verdict's findings #1-#3 had to reconstruct out-of-band.
     // A section whose time regressed WITHOUT a gc/steal spike is a real code
     // regression; with one, it's window weather — readable from the JSON.
     val windowJson =
-      s""","window":{"queries":${winJson(wQueries0, wQueries1)},"warmup":${winJson(wWarmup0, wEpochs0)},"epochs":${winJson(wEpochs0, wEpochs1)},"repeat":${winJson(wRepeat0, wRepeat1)},"sustained":${winJson(wRepeat1, wSustained1)}}"""
+      s""","window":{"queries":${winJson(queriesWin)},"warmup":${winJson(Option.when(warmupRan)(winDelta(wWarmup0, wEpochs0)))},"epochs":${winJson(Some(winDelta(wEpochs0, wEpochs1)))},"repeat":${winJson(repeatRun.map(_ => winDelta(wRepeat0, wRepeat1)))},"sustained":${winJson(Option.when(sustainedRan)(winDelta(wRepeat1, wSustained1)))}}"""
 
     // the post probe runs AFTER spark.stop(): a probe sampled while the JVM
     // still drains task-cleanup/GC work reads a contaminated baseline (one

@@ -435,7 +435,7 @@ object CrawlEpoch {
         // null out decode results) — so that branch skips the prefilter and
         // relies on the exact semi join alone, mirroring bloomPrefiltered.
         val wantedImages =
-          if (schedRows <= broadcastMax)
+          if (persistLicensed) // same small-schedule regime as the persist
             images.join(broadcast(fetchedIds), Seq("image_id"), "left_semi")
           else if (schedSnap.isEmpty) // unhinted: size unknown, let AQE pick
             images.join(fetchedIds, Seq("image_id"), "left_semi")
