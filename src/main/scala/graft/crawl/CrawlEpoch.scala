@@ -392,22 +392,27 @@ object CrawlEpoch {
           .withColumn("fetch_status",
             when(col("page_url").isNotNull, 200).otherwise(404))
       }
-      // Broadcast path: the persisted licensed frame feeds both the fetched
-      // image-id set and the final join — affordable exactly when the
-      // schedule is broadcast-small, and cheaper than re-scanning the corpus
-      // (a second large broadcast build measured +50% on the 4M epoch).
-      // Fallback path (the NORMAL case at a 10^10-URL frontier): NO persist —
-      // a schedule-sized WIDE cache write+read per epoch is storage the
-      // frontier doesn't have — the id set comes from a NARROW key semi join
-      // instead (the links stage's shape: corpus scan pruned to url/image_id
-      // columns, store-bucket-pruned, Bloom-prefiltered), and license
-      // extraction runs once, inside the write job's corpus-scan stage.
-      val persistLicensed = schedRows <= broadcastMax
+      // The fetched image-id set needs licensed's non-null ids; deriving it
+      // either materializes `licensed` (persist, then the final join reads
+      // the cache) or re-touches the corpus with a NARROW key semi join (the
+      // links stage's shape: url/image_id columns only, Bloom-prefiltered).
+      // Which is cheaper depends on what the corpus IS:
+      //   - PageStore + large schedule (the 10^10 shape): narrow join — the
+      //     store read is bucket-PRUNED and column-pruned, ∝ schedule by
+      //     construction, while a schedule-sized wide persist per epoch is
+      //     storage the frontier doesn't have.
+      //   - cached-frame corpus: persist — "re-scan" means re-reading the
+      //     whole cached frame (measured +48% on the 16M DISK_ONLY corpus),
+      //     and the licensed persist is bounded by the schedule, which in
+      //     any frame-cacheable deployment fits the same storage.
+      //   - broadcast-small schedule: persist — deriving by re-scan would
+      //     build a SECOND large broadcast (measured +50% on the 4M epoch).
+      val smallSchedule = schedRows <= broadcastMax
+      val narrowIds = !smallSchedule && pageStore.isDefined
       val licensed0 = fetched.drop("page_url", "page_hash")
       val licensed =
-        if (persistLicensed)
-          licensed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else licensed0
+        if (narrowIds) licensed0
+        else licensed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // Decode ∝ FETCHED images, never ∝ the image corpus: an epoch whose
         // schedule touches 0.1% of the store must not decode the other
@@ -417,15 +422,15 @@ object CrawlEpoch {
         // positives decode wastefully at ~1% and then vanish in the final
         // left join — the exact check; false negatives do not exist). Blobs
         // are projected away pre-exchange either way.
-        // The fallback-path semi join yields exactly licensed's non-null
-        // image ids: hash matches are re-checked on the URL string, and 404
-        // rows carry no image_id.
+        // The narrow semi join yields exactly licensed's non-null image
+        // ids: hash matches are re-checked on the URL string, and 404 rows
+        // carry no image_id.
         val fetchedIds = (
-          if (persistLicensed) licensed
-          else bloomPrefiltered(pagesHashed).join(
+          if (narrowIds) bloomPrefiltered(pagesHashed).join(
             scheduled.select(col("url_hash"), col("canon_url")),
             col("page_hash") === col("url_hash") &&
-              col("page_url") === col("canon_url"), "left_semi"))
+              col("page_url") === col("canon_url"), "left_semi")
+          else licensed)
           .select(col("image_id"))
           .where(col("image_id").isNotNull).distinct()
         // The sidecar is keyed by the SCHEDULE snapshot id; with no schedule
@@ -435,7 +440,7 @@ object CrawlEpoch {
         // null out decode results) — so that branch skips the prefilter and
         // relies on the exact semi join alone, mirroring bloomPrefiltered.
         val wantedImages =
-          if (persistLicensed) // same small-schedule regime as the persist
+          if (smallSchedule) // fetched ids are broadcast-small with the schedule
             images.join(broadcast(fetchedIds), Seq("image_id"), "left_semi")
           else if (schedSnap.isEmpty) // unhinted: size unknown, let AQE pick
             images.join(fetchedIds, Seq("image_id"), "left_semi")
@@ -468,7 +473,7 @@ object CrawlEpoch {
           Map("epoch" -> epoch.toString, "stage" -> "out"),
           partitionBy = Seq("fetch_status"))
         outTable.markStage(epoch, "out")
-      } finally if (persistLicensed) licensed.unpersist(blocking = false)
+      } finally if (!narrowIds) licensed.unpersist(blocking = false)
     }
 
     // --- stage 3: seen-set update (incremental: delta snapshot + merged

@@ -355,6 +355,18 @@ class CrawlEpochSpec extends SparkSpecBase {
     def frontierRows(r: String) = CrawlEpoch.frontierTable(r, spark).read()
       .select("url").collect().map(_.getString(0)).sorted.toSeq
     assert(frontierRows(rootA) === frontierRows(rootB))
+    // store + LARGE schedule (forced): the narrow-ids path — the fetched
+    // image-id set derives from the pruned key semi join with NO licensed
+    // persist — must also be byte-equal to the frame path
+    val rootC = Files.createTempDirectory("crawlStoreNarrow").toString
+    CrawlEpoch.seed(rootC, spark, seeds)
+    spark.conf.set("graft.bcastSchedMax", "1")
+    val c = try CrawlEpoch.run(rootC, spark, pages, images, Some(robots),
+      budgetPerHost = 5, epoch = 1, pageStore = Some(storePath))
+    finally spark.conf.unset("graft.bcastSchedMax")
+    assert(a === c, "metrics differ on the store narrow-ids path")
+    assert(outSorted(rootA) === outSorted(rootC), "out rows differ on the store narrow-ids path")
+    assert(frontierRows(rootA) === frontierRows(rootC))
 
     // pruning proof: a tiny schedule reads ONLY its buckets' files
     val sched = new SnapshotTable(s"$rootB/scheduled", spark).read()
