@@ -30,4 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Throughput collector: measured 30-45% faster than G1 on this batch
   // workload at local[32] (see BASELINE.md "Measured results")
   "-XX:+UseParallelGC",
-) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS") // empty tokens would abort the forked
+  .map(_.split(" ").toSeq.filter(_.nonEmpty)) // JVM (SPARK_GRAFT_JVM_OPTS="")
+  .getOrElse(Seq.empty)
