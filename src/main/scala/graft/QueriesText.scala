@@ -236,12 +236,17 @@ object TextQueries {
     val seeded = base.filter(col("vec_id") < 8)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), x => x + lit(0.03)).as("v"))
+    // Norms hoisted out of the pair loop (Ann.cosineNormed): each of the
+    // ~n²/2 pairs costs one dot product instead of three — bit-identical
+    // arithmetic, the sqrt factors are just computed once per row.
     val e = base.unionAll(seeded)
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
+      Ann.norm(col("v")).as("a_norm"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      Ann.norm(col("v")).as("b_norm"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(Ann.cosine(col("av"), col("bv")), 4).as("cos"))
+        round(Ann.cosineNormed(col("av"), col("bv"), col("a_norm"), col("b_norm")), 4).as("cos"))
       .filter(col("cos") >= 0.9)
       .orderBy(col("a_id"), col("b_id"))
   }

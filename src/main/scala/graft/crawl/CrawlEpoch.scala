@@ -62,7 +62,13 @@ object CrawlEpoch {
       scheduled: Long,
       newFrontier: Long,
       outDone: scala.concurrent.Future[Unit],
-      private[crawl] val outTable: SnapshotTable)
+      private[crawl] val outTable: SnapshotTable,
+      // (fetched, licensed, decode_ok) observed ON the out commit's write
+      // action (no separate scan job); None when the stage was resumed as
+      // already-committed — finish() then falls back to the snapshot scan
+      private[crawl] val outMetrics:
+        java.util.concurrent.atomic.AtomicReference[Option[(Long, Long, Long)]] =
+        new java.util.concurrent.atomic.AtomicReference(None))
 
   def frontierTable(stateRoot: String, spark: SparkSession) =
     new SnapshotTable(s"$stateRoot/frontier", spark)
@@ -334,6 +340,8 @@ object CrawlEpoch {
     }
 
     // --- stage 2: fetch + decode + annotate → out ---------------------------
+    val outMetricsHolder =
+      new java.util.concurrent.atomic.AtomicReference[Option[(Long, Long, Long)]](None)
     def runOutStage(): Unit = if (!outTable.stageDone(epoch, "out")) {
       // 0 scheduled rows ⇒ the sink is empty by construction: commit the
       // typed empty snapshot from the parent's recorded schema, no job.
@@ -347,6 +355,7 @@ object CrawlEpoch {
         outTable.commitEmpty(emptySinkSchema.get,
           Map("epoch" -> epoch.toString, "stage" -> "out"))
         outTable.markStage(epoch, "out")
+        outMetricsHolder.set(Some((0L, 0L, 0L)))
         return
       }
       // Fetch join, 100 TB shape: html NEVER crosses an exchange on either
@@ -373,27 +382,8 @@ object CrawlEpoch {
             GraftFunctions.extractCcLicenses(col("html"))))
           .select(keep ++ GraftFunctions.licenseMetadataColumns(col("__lic")): _*)
       }
-      val fetched = if (schedRows <= broadcastMax) {
-        val hit = annotateLicenses(pagesHashed.join(
-          broadcast(scheduled),
-          col("url_hash") === col("page_hash") &&
-            col("canon_url") === col("page_url"), "inner"))
-          .withColumn("fetch_status", lit(200))
-        val miss = scheduled.join(
-          pagesHashed.select(col("page_hash"), col("page_url")),
-          col("url_hash") === col("page_hash") &&
-            col("canon_url") === col("page_url"), "left_anti")
-          .withColumn("fetch_status", lit(404))
-        hit.unionByName(miss, allowMissingColumns = true)
-      } else {
-        scheduled.join(annotateLicenses(bloomPrefiltered(pagesHashed)),
-          scheduled("url_hash") === col("page_hash") &&
-            scheduled("canon_url") === col("page_url"), "left")
-          .withColumn("fetch_status",
-            when(col("page_url").isNotNull, 200).otherwise(404))
-      }
       // The fetched image-id set needs licensed's non-null ids; deriving it
-      // either materializes `licensed` (persist, then the final join reads
+      // either materializes the hit rows (persist, then the final join reads
       // the cache) or re-touches the corpus with a NARROW key semi join (the
       // links stage's shape: url/image_id columns only, Bloom-prefiltered).
       // Which is cheaper depends on what the corpus IS:
@@ -409,10 +399,43 @@ object CrawlEpoch {
       //     build a SECOND large broadcast (measured +50% on the 4M epoch).
       val smallSchedule = schedRows <= broadcastMax
       val narrowIds = !smallSchedule && pageStore.isDefined
-      val licensed0 = fetched.drop("page_url", "page_hash")
-      val licensed =
-        if (narrowIds) licensed0
-        else licensed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (licensed rows for the sink, the persisted frame to unpersist, the
+      // frame the fetched-image-id derivation reads)
+      val (licensed, persistedFrame) = if (smallSchedule) {
+        // Broadcast path: ONE corpus scan. Hits stream out of the scan,
+        // license-annotated in-scan, and are persisted; the 404 side is
+        // derived by anti-joining the schedule against the persisted hit
+        // KEYS. Round 5 derived misses by anti-joining against the corpus —
+        // a SECOND full-corpus pass (project + url-hash over every page)
+        // that the hit cache already answers: hit keys are exactly the
+        // scheduled keys present in the corpus, so
+        // scheduled ∖ hit-keys ≡ scheduled ∖ corpus-keys (guide §2.4).
+        val hit = annotateLicenses(pagesHashed.join(
+          broadcast(scheduled),
+          col("url_hash") === col("page_hash") &&
+            col("canon_url") === col("page_url"), "inner"))
+          .withColumn("fetch_status", lit(200))
+          .drop("page_url", "page_hash")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val miss = scheduled.join(
+          hit.select(col("url_hash").as("__h_hash"), col("canon_url").as("__h_url")),
+          col("url_hash") === col("__h_hash") && col("canon_url") === col("__h_url"),
+          "left_anti")
+          .withColumn("fetch_status", lit(404))
+        (hit.unionByName(miss, allowMissingColumns = true), Some(hit))
+      } else {
+        val joined = scheduled.join(annotateLicenses(bloomPrefiltered(pagesHashed)),
+          scheduled("url_hash") === col("page_hash") &&
+            scheduled("canon_url") === col("page_url"), "left")
+          .withColumn("fetch_status",
+            when(col("page_url").isNotNull, 200).otherwise(404))
+          .drop("page_url", "page_hash")
+        if (narrowIds) (joined, None)
+        else {
+          val p = joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (p, Some(p))
+        }
+      }
       try {
         // Decode ∝ FETCHED images, never ∝ the image corpus: an epoch whose
         // schedule touches 0.1% of the store must not decode the other
@@ -425,12 +448,15 @@ object CrawlEpoch {
         // The narrow semi join yields exactly licensed's non-null image
         // ids: hash matches are re-checked on the URL string, and 404 rows
         // carry no image_id.
+        // persistedFrame: on the broadcast path this is the hit-only cache
+        // (miss rows carry no image_id anyway, so reading hits alone is
+        // equivalent and skips the anti-join branch for this derivation)
         val fetchedIds = (
           if (narrowIds) bloomPrefiltered(pagesHashed).join(
             scheduled.select(col("url_hash"), col("canon_url")),
             col("page_hash") === col("url_hash") &&
               col("page_url") === col("canon_url"), "left_semi")
-          else licensed)
+          else persistedFrame.getOrElse(licensed))
           .select(col("image_id"))
           .where(col("image_id").isNotNull).distinct()
         // The sidecar is keyed by the SCHEDULE snapshot id; with no schedule
@@ -467,13 +493,28 @@ object CrawlEpoch {
               col("__chk").getField("phash") === col("phash")).as("phash_ok"),
             when(col("bytes").isNotNull,
               col("__chk").getField("psnr") >= 40.0).as("pixels_ok"))
+        // Epoch metrics ride the commit's ONE write action via observe —
+        // finish() previously re-scanned the freshly written snapshot for
+        // the same three counts, a full out-table read on the epoch's
+        // serial tail (guide §1.5 metrics-on-the-action; the resume path
+        // still falls back to the scan).
+        val obs = org.apache.spark.sql.Observation()
         val out = licensed.join(checkedImages, Seq("image_id"), "left")
           .withColumn("epoch", lit(epoch))
+          .observe(obs,
+            count(when(col("fetch_status") === 200, 1)).as("fetched"),
+            count(when(col("license_abbr").isNotNull, 1)).as("licensed"),
+            count(when(col("pixels_ok") && col("phash_ok"), 1)).as("decode_ok"))
         outTable.commit(out,
           Map("epoch" -> epoch.toString, "stage" -> "out"),
           partitionBy = Seq("fetch_status"))
         outTable.markStage(epoch, "out")
-      } finally if (!narrowIds) licensed.unpersist(blocking = false)
+        val m = obs.get
+        outMetricsHolder.set(Some((
+          m("fetched").asInstanceOf[Long],
+          m("licensed").asInstanceOf[Long],
+          m("decode_ok").asInstanceOf[Long])))
+      } finally persistedFrame.foreach(_.unpersist(blocking = false))
     }
 
     // --- stage 3: seen-set update (incremental: delta snapshot + merged
@@ -578,7 +619,8 @@ object CrawlEpoch {
       newFrontier = frontier.snapshotForLineage("epoch", epoch.toString)
         .flatMap(frontier.manifest).map(_.get("row_count").asLong).getOrElse(0L),
       outDone = outF,
-      outTable = outTable)
+      outTable = outTable,
+      outMetrics = outMetricsHolder)
   }
 
   /** Expire old crawl-STATE snapshots (storage maintenance between epochs):
@@ -681,7 +723,12 @@ object CrawlEpoch {
     * by lineage — pipelined later epochs may have committed after it). */
   def finish(r: RunningEpoch): EpochMetrics = {
     scala.concurrent.Await.result(r.outDone, scala.concurrent.duration.Duration.Inf)
-    val outStats = r.outTable.snapshotForLineage("epoch", r.epoch.toString)
+    // metrics were observed on the commit's own write action; the scan
+    // below only runs when this epoch RESUMED over an already-committed out
+    // stage (no fresh action to observe)
+    val observed = r.outMetrics.get()
+    val outStats = if (observed.isDefined) None else
+      r.outTable.snapshotForLineage("epoch", r.epoch.toString)
       .map(id => r.outTable.readAt(id).agg(
         count(when(col("fetch_status") === 200, 1)).as("fetched"),
         count(when(col("license_abbr").isNotNull, 1)).as("licensed"),
@@ -701,9 +748,9 @@ object CrawlEpoch {
     EpochMetrics(
       epoch = r.epoch,
       scheduled = r.scheduled,
-      fetched = outStats.map(_.getLong(0)).getOrElse(0L),
-      licensed = outStats.map(_.getLong(1)).getOrElse(0L),
-      decodeOk = outStats.map(_.getLong(2)).getOrElse(0L),
+      fetched = observed.map(_._1).orElse(outStats.map(_.getLong(0))).getOrElse(0L),
+      licensed = observed.map(_._2).orElse(outStats.map(_.getLong(1))).getOrElse(0L),
+      decodeOk = observed.map(_._3).orElse(outStats.map(_.getLong(2))).getOrElse(0L),
       newFrontier = r.newFrontier)
   }
 }

@@ -81,6 +81,36 @@ object ExprKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       TextHashing.winnowFingerprint(t.toString, k, window))
 
+  /** All (i < j) pairs of `arr` as struct(a, b) rows, input order preserved.
+    * Elements are copied once up front (collect_list/sort_array buffers may
+    * be reused by the aggregation machinery) and shared across the pairs
+    * referencing them. */
+  def sortedPairs(arr: ArrayData,
+      elType: org.apache.spark.sql.types.DataType): ArrayData = {
+    val n = arr.numElements()
+    val els = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      els(i) =
+        if (arr.isNullAt(i)) null
+        else org.apache.spark.sql.catalyst.InternalRow.copyValue(arr.get(i, elType))
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(els(i), els(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def vecDot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0

@@ -35,6 +35,7 @@ object GraftFunctions {
     "extract_visible_text" -> (es => ExtractVisibleText(es.head)),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "shingle_set" -> (es => ShingleSet(es(0), es(1))),
+    "sorted_pairs" -> (es => SortedPairs(es.head)),
     "bloom_might_contain" -> (es => graft.frontier.BloomMightContain(es(0), es(1), es(2))),
     "cuckoo_might_contain" -> (es => graft.frontier.CuckooMightContain(es(0), es(1), es(2))),
     "constraint_barrier" -> (es => graft.frontier.ConstraintBarrier(es.head))
@@ -78,6 +79,7 @@ object GraftFunctions {
   def normalizeNfc(s: Column): Column = call_function("normalize_nfc", s)
   def extractVisibleText(html: Column): Column = call_function("extract_visible_text", html)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def sortedPairs(arr: Column): Column = call_function("sorted_pairs", arr)
 
   /** The 11 license metadata columns of the C5 schema from one extract-struct
     * column (the projection step of `license_annotator.py:53-71`), with

@@ -143,6 +143,33 @@ case class ShingleSet(child: Expression, nExpr: Expression) extends BinaryExpres
     copy(child = newLeft, nExpr = newRight)
 }
 
+/** `sorted_pairs(arr)` — all index pairs (i < j) of an ascending-sorted
+  * array, as array<struct<a, b>> preserving the input order (so `a < b`
+  * whenever the input is sorted on a unique key). The LSH dedup pipelines
+  * use it to emit within-bucket candidate pairs from ONE capped members
+  * array instead of a bucket self-join — which evaluated the whole
+  * banding+window subtree twice and paid a join exchange (guide §2.4:
+  * remove shuffles outright). Output size is bounded by the caller's
+  * bucket cap (≤ cap·(cap−1)/2 per bucket). */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+  @transient private lazy val elType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", elType, nullable = true),
+    StructField("b", elType, nullable = true))), containsNull = false)
+  override def prettyName: String = "sorted_pairs"
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.sortedPairs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elType)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val et = ctx.addReferenceObj("elType", elType)
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.sortedPairs($c, $et)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MinHashSig(child: Expression, numHashes: Int = 64, shingleSize: Int = 3)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

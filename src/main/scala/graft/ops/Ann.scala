@@ -25,6 +25,18 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** [[cosine]] with the two norms hoisted out of the pair loop: callers
+    * compute `sqrt(dot(v, v))` ONCE per row before the join and pass it in,
+    * so each candidate pair costs one dot product instead of three (the
+    * per-pair `dot(a,a)`/`dot(b,b)` dominated the scoring stage — guide
+    * §1.2 per-task work). Bit-identical to [[cosine]]: same operations in
+    * the same order, only evaluated earlier. */
+  def cosineNormed(a: Column, b: Column, aNorm: Column, bNorm: Column): Column =
+    dot(a, b) / (aNorm * bNorm)
+
+  /** `sqrt(dot(v, v))` — the hoisted norm factor of [[cosineNormed]]. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
   /** Exact top-k cosine neighbors for each query row.
     *
     * @param corpus  (idCol, vecCol) table — scanned once, never shuffled
@@ -39,9 +51,12 @@ object Ann {
       k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(qidCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.crossJoin(broadcast(q))
-      .select(col("q_id"), col("nn_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .select(col("q_id"), col("nn_id"),
+        cosineNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -100,11 +115,14 @@ object Ann {
     val c = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("c_vec"))
       .withColumn("cell", ivfCell(col("c_vec"), dim, nCells))
+      .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(qidCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell", explode(ivfProbeCells(col("q_vec"), dim, nCells, nProbe)))
+      .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.join(broadcast(q), "cell")
-      .select(col("q_id"), col("nn_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .select(col("q_id"), col("nn_id"),
+        cosineNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -147,12 +165,15 @@ object Ann {
     val q = queries.select(col(qidCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell", explode(ivfProbeCells(col("q_vec"), dim, nCells, nProbe)))
+      .withColumn("q_norm", norm(col("q_vec")))
     val probedCells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val c = spark.read.parquet(path)
       .filter(col("cell").isin(probedCells: _*))
+      .withColumn("c_norm", norm(col("c_vec")))
     val scored = c.join(broadcast(q), "cell")
-      .select(col("q_id"), col("nn_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .select(col("q_id"), col("nn_id"),
+        cosineNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -192,11 +213,14 @@ object Ann {
     val c = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("c_vec"))
       .withColumn("bucket", rhpSignature(col("c_vec"), dim, nBits))
+      .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(qidCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("bucket", rhpSignature(col("q_vec"), dim, nBits))
+      .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.join(broadcast(q), "bucket")
-      .select(col("q_id"), col("nn_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .select(col("q_id"), col("nn_id"),
+        cosineNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -81,11 +81,18 @@ object Dedup {
           .as("rows_dropped_by_bucket_cap"))
       .filter(col("bucket_rank") <= maxBucketSize)
 
-    val a = bucketed.select(col("band"), col("band_hash"), col("id").as("a_id"))
-    val b = bucketed.select(col("band"), col("band_hash"), col("id").as("b_id"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    // Within-bucket pairs from ONE capped members array (sorted_pairs kernel)
+    // instead of a bucket self-join: the self-join evaluated the whole
+    // banding+window subtree twice (its own exchange + broadcast) — guide
+    // §2.4 remove-shuffles. The aggregation reuses the window's (band,
+    // band_hash) hash partitioning (no new exchange), its state is bounded
+    // by the bucket cap, and a_id < b_id holds because members is sorted on
+    // the unique id. Output pairs are identical to the self-join's.
+    val candidates = bucketed
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .select(explode(GraftFunctions.sortedPairs(col("members"))).as("p"))
+      .select(col("p").getField("a").as("a_id"), col("p").getField("b").as("b_id"))
       .distinct()
 
     // exact verification on word-shingle sets (here: distinct token sets for
@@ -157,6 +164,7 @@ object Dedup {
       maxDistance: Int,
       maxBucketSize: Int,
       observeName: String): DataFrame = {
+    GraftFunctions.register(sigs.sparkSession)
     val banded = sigs.select(col("id"), col("sig"), posexplode(array(
       (0 until 4).map(j =>
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -169,12 +177,19 @@ object Dedup {
           .as("rows_dropped_by_bucket_cap"))
       .filter(col("bucket_rank") <= maxBucketSize)
 
-    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+    // Pairs from ONE capped members array per bucket (see minhashPairs):
+    // members carry (id, sig) — 16 bytes/row, bounded by the cap — so the
+    // Hamming distance is computed in place and no join is needed at all.
+    // sort_array on struct(id, sig) orders by the unique id, so a_id < b_id.
+    banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
+      .select(explode(GraftFunctions.sortedPairs(col("members"))).as("p"))
+      .select(
+        col("p").getField("a").getField("id").as("a_id"),
+        col("p").getField("b").getField("id").as("b_id"),
+        bit_count(col("p").getField("a").getField("sig")
+          .bitwiseXOR(col("p").getField("b").getField("sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
