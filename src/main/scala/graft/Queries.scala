@@ -17,6 +17,12 @@ object Queries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** See [[graft.core.SmallScan.spread]]: parallelism floor for the sf
+    * tables, which are single-file single-row-group parquet (ONE scan
+    * partition) — without it every compute-heavy narrow chain runs on one
+    * core. No-op on any scan already at defaultParallelism partitions. */
+  def spread(df: DataFrame): DataFrame = graft.core.SmallScan.spread(df)
+
   /** Exact integer-cents of a double column. */
   def cents(c: Column): Column = round(c * 100).cast("bigint")
 
@@ -116,7 +122,8 @@ object Queries {
   def qLicenseExtract(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import graft.functions.GraftFunctions._
-    val docs = t(s, dir, "documents")
+    // spread BEFORE synthesizing html: the extract kernel parses every page
+    val docs = spread(t(s, dir, "documents").select(col("doc_id")))
     val withHtml = docs.select(col("doc_id"), synthHtml(col("doc_id")).as("html"))
     // The extract expression itself applies the cheap creativecommons.org
     // gate before parsing (SURVEY §4 R1/R2 defense in depth).
@@ -175,7 +182,7 @@ object Queries {
       lit("\"></head><body><p>Shared body sentence.</p>" +
         "<div id=\"page-footer\"><a href=\""), u2,
       lit("\">License</a></div></body></html>"))
-    val annotated = t(s, dir, "documents")
+    val annotated = spread(t(s, dir, "documents").select(col("doc_id")))
       .select(col("doc_id"), extractCcLicenses(html).as("x"))
     val metaCols = licenseMetadataColumns(col("x"))
     def pl(field: String, as: String): Column =

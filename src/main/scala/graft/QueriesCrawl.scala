@@ -239,8 +239,8 @@ object CrawlQueries {
     val h = (col("doc_id") % 48 + 16).cast("int")
     val fmt = element_at(array(lit("png"), lit("bmp"), lit("jpeg")),
       (col("doc_id") % 3 + 1).cast("int"))
-    val d = t(s, dir, "documents").filter(col("doc_id") < 200)
-      .select(col("doc_id"), w.as("w"), h.as("h"), fmt.as("fmt"))
+    val d = Queries.spread(t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), w.as("w"), h.as("h"), fmt.as("fmt")))
       .withColumn("bytes", GraftFunctions.genImage(col("doc_id"), col("w"), col("h"), col("fmt")))
     val dims = GraftFunctions.decodeImageDims(col("bytes"))
     d.select(col("doc_id"), col("fmt"),
@@ -281,8 +281,12 @@ object CrawlQueries {
     * → bucket-cap → verify pipeline. */
   def qDedupPhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val imgs = t(s, dir, "documents")
+    // spread BEFORE synthesizing bytes (Queries.spread): image encode +
+    // decode + phash per row is the query's heavy narrow stage, and the
+    // exchange must move doc_ids, not encoded images
+    val imgs = Queries.spread(t(s, dir, "documents")
       .filter(col("doc_id") < 500 && col("doc_id") % 100 =!= 77)
+      .select(col("doc_id")))
       .select(col("doc_id"),
         GraftFunctions.genImage(col("doc_id") % 100, lit(48), lit(32), lit("png")).as("bytes"))
     graft.ops.Dedup.phashPairs(imgs, "doc_id", "bytes", maxDistance = 0)

@@ -17,7 +17,11 @@ object PipelineQueries {
 
   def qC5Pipeline(s: SparkSession, dir: String): DataFrame = {
     val url = element_at(array(ccUrls.map(lit): _*), (col("doc_id") % 12 + 1).cast("int"))
-    val fetched = t(s, dir, "documents")
+    // spread the unsplittable scan BEFORE the 11-stage parse-heavy chain
+    // (Queries.spread): the whole annotate pipeline is narrow and would
+    // otherwise run on the single scan partition
+    val fetched = Queries.spread(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(
         concat(lit("doc-"), col("doc_id")).as("id"),
         lit("CC-MAIN-2024-10").as("dump"),

@@ -128,6 +128,10 @@ object TextQueries {
   // --- dedup corpus: originals + exact copies + unrelated decoys ------------
 
   private[graft] def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    // NOT spread here: the three union branches all derive from this frame
+    // (a spread would be re-evaluated per branch), and the exact-dedup
+    // consumer's first op is an aggregate that needs no pre-exchange. The
+    // LSH pair operators spread their own input once, after the union.
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val dups = base.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
@@ -197,7 +201,7 @@ object TextQueries {
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val d = t(s, dir, "documents")
+    val d = Queries.spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
     val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
@@ -240,11 +244,13 @@ object TextQueries {
     // ~n²/2 pairs costs one dot product instead of three — bit-identical
     // arithmetic, the sqrt factors are just computed once per row.
     val e = base.unionAll(seeded)
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
+    // spread the STREAM side only (the build side is broadcast as-is): the
+    // n²/2 pair scoring otherwise runs on the scan's single partition
+    val a = Queries.spread(e).select(col("vec_id").as("a_id"), col("v").as("av"),
       Ann.norm(col("v")).as("a_norm"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
       Ann.norm(col("v")).as("b_norm"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(Ann.cosineNormed(col("av"), col("bv"), col("a_norm"), col("b_norm")), 4).as("cos"))
       .filter(col("cos") >= 0.9)

@@ -36,6 +36,8 @@ object GraftFunctions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "shingle_set" -> (es => ShingleSet(es(0), es(1))),
     "sorted_pairs" -> (es => SortedPairs(es.head)),
+    "lang_decision" -> (es => LangDecision(es.head,
+      es.tail.map(_.eval().asInstanceOf[Double]))),
     "bloom_might_contain" -> (es => graft.frontier.BloomMightContain(es(0), es(1), es(2))),
     "cuckoo_might_contain" -> (es => graft.frontier.CuckooMightContain(es(0), es(1), es(2))),
     "constraint_barrier" -> (es => graft.frontier.ConstraintBarrier(es.head))

@@ -143,6 +143,93 @@ case class ShingleSet(child: Expression, nExpr: Expression) extends BinaryExpres
     copy(child = newLeft, nExpr = newRight)
 }
 
+/** The deterministic stopword-ratio language heuristic (F5 analog) as a
+  * single-pass kernel: per-language stopword hit counts over one whitespace
+  * tokenization, then the argmax/strict-threshold/fixed-order-tie rule.
+  * Token/score semantics are IDENTICAL to the declarative tree it replaces
+  * (`split(lower(trim(text)), "\\s+")` with trailing empties kept, n =
+  * max(|toks|, 1), score = hits/n in double division): UTF8String.trim
+  * strips 0x20 only and toLowerCase matches Spark's `lower`, exactly as
+  * [[ExprKernels.shingleSet]] establishes. The HOF-aggregate shape it
+  * replaces allocated a struct accumulator per TOKEN and generated the
+  * largest codegen blob of the 11-stage pipeline (guide §1.2 per-task work:
+  * the chain's cost was dominated by this stage's ~50 string compares +
+  * allocations per token). */
+object LangHeuristic {
+  // canonical stopword data (MainPipeline mirrors the reference's LanguageFilter)
+  val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+    "es" -> Seq("el", "que", "de", "en", "los", "se", "del", "las", "por", "un"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "dat", "niet", "op", "te"))
+
+  private val langs: Array[UTF8String] =
+    langStops.map(p => UTF8String.fromString(p._1)).toArray
+  private val stopSets: Array[java.util.HashSet[String]] =
+    langStops.map { case (_, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  /** struct(language, score): language = first lang (fixed order) whose
+    * score equals the max AND strictly exceeds its threshold; both fields
+    * null when no language qualifies. */
+  def decide(text: UTF8String, thresholds: Array[Double]): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.trim().toLowerCase.toString.split("\\s+", -1)
+    val nLangs = langs.length
+    val counts = new Array[Int](nLangs)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var l = 0
+      while (l < nLangs) {
+        if (stopSets(l).contains(t)) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    val n = math.max(toks.length, 1).toDouble
+    var best = Double.NegativeInfinity
+    var l = 0
+    while (l < nLangs) {
+      val s = counts(l) / n
+      if (s > best) best = s
+      l += 1
+    }
+    var picked = -1
+    l = 0
+    while (picked < 0 && l < nLangs) {
+      val s = counts(l) / n
+      if (s == best && s > thresholds(l)) picked = l
+      l += 1
+    }
+    if (picked < 0) org.apache.spark.sql.catalyst.InternalRow(null, null)
+    else org.apache.spark.sql.catalyst.InternalRow(langs(picked), counts(picked) / n)
+  }
+}
+
+/** `lang_decision(text, th_en, th_de, ...)` — see [[LangHeuristic.decide]];
+  * thresholds are literal doubles, one per language in fixed order. */
+case class LangDecision(child: Expression, thresholds: Seq[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("language", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+  override def prettyName: String = "lang_decision"
+  @transient private lazy val thArr: Array[Double] = thresholds.toArray
+  override def nullSafeEval(input: Any): Any =
+    LangHeuristic.decide(input.asInstanceOf[UTF8String], thArr)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val th = ctx.addReferenceObj("thresholds", thArr)
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangHeuristic.decide($c, $th)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `sorted_pairs(arr)` — all index pairs (i < j) of an ascending-sorted
   * array, as array<struct<a, b>> preserving the input order (so `a < b`
   * whenever the input is sorted on a unique key). The LSH dedup pipelines

@@ -50,7 +50,10 @@ object Ann {
       qidCol: String,
       k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("c_vec"))
+    // parallelism floor on the scored (stream) side — no-op at scale where
+    // the corpus scan already carries >= defaultParallelism partitions
+    val c = graft.core.SmallScan.spread(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("c_vec")))
       .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(qidCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))

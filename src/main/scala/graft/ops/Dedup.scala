@@ -57,7 +57,10 @@ object Dedup {
     GraftFunctions.register(spark)
     val rows = numHashes / bands
     // signatures feed three plan branches (banding + both verify sides):
-    // persist so the k×shingles hashing runs once per row, not three times
+    // persist so the k×shingles hashing runs once per row, not three times.
+    // NOT SmallScan.spread here: a measured A/B put the extra exchange of
+    // text rows above the single-core hashing it parallelizes (~0.15 s of
+    // kernel work vs ~0.3-0.7 s of shuffle+sort — OPTIMIZATION_r06.md).
     val sigs = df.select(
       col(idCol).as("id"),
       GraftFunctions.minhashSig(col(textCol)).as("sig"),
@@ -96,7 +99,10 @@ object Dedup {
       .distinct()
 
     // exact verification on word-shingle sets (here: distinct token sets for
-    // shingleSize handling see `verifyShingles`)
+    // shingleSize handling see `verifyShingles`). Join strategy left to the
+    // planner/AQE: a measured shuffled-hash hint here traded ~0.1 s of warm
+    // sort time for ~1.2 s of extra one-off planning/codegen per session —
+    // a net loss for a run-once query (OPTIMIZATION_r06.md).
     val ta = sigs.select(col("id").as("a_id"), col("toks").as("a_toks"))
     val tb = sigs.select(col("id").as("b_id"), col("toks").as("b_toks"))
     candidates

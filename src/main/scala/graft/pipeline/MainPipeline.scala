@@ -30,56 +30,22 @@ object MainPipeline {
       thresholds: Map[String, Double] = Map("en" -> 0.10),
       defaultThreshold: Double = 0.05)
 
-  private val langStops: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "a"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "zu"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
-    "es" -> Seq("el", "que", "de", "en", "los", "se", "del", "las", "por", "un"),
-    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "dat", "niet", "op", "te"))
+  private def langStops: Seq[(String, Seq[String])] =
+    graft.functions.LangHeuristic.langStops
 
-  /** Language pick + raw score as ONE expression tree evaluated in a single
-    * pass over the tokens: an `aggregate` counts stopword hits for all
-    * languages at once (the token array — a per-row regex split — is
-    * evaluated once, not once per language per reference), and the finish
-    * lambda applies the argmax/strict-threshold/fixed-order-tie rule on the
-    * tiny counts array. The first shape (a per-language when-chain over
-    * duplicated score trees) re-evaluated the split+filter ~30x per row and
-    * dominated the whole 11-stage pipeline's cost (8.3 s of a 6 s/5k-row
-    * query at sf0.1). The two returned columns share the identical decision
-    * subtree, which whole-stage codegen's subexpression elimination computes
-    * once. */
+  /** Language pick + raw score via the single-pass `lang_decision` kernel
+    * ([[graft.functions.LangHeuristic.decide]]): one whitespace
+    * tokenization, per-language stopword hit counts, then the argmax/
+    * strict-threshold/fixed-order-tie rule — token and score semantics
+    * identical to the declarative `aggregate` tree it replaces (round 2's
+    * shape), which allocated a struct accumulator per TOKEN and generated
+    * the largest whole-stage-codegen blob of the 11-stage pipeline. The two
+    * returned columns share the identical kernel subtree, which codegen's
+    * subexpression elimination computes once. */
   def languageColumns(text: Column, cfg: LangConfig = LangConfig()): Seq[Column] = {
-    val nLangs = langStops.length
-    val stopsArr = array(langStops.map { case (_, s) => array(s.map(lit): _*) }: _*)
-    val langsArr = array(langStops.map(p => lit(p._1)): _*)
-    val thsArr = array(langStops.map(p =>
-      lit(cfg.thresholds.getOrElse(p._1, cfg.defaultThreshold))): _*)
-    val toks = split(lower(trim(text)), "\\s+")
-    val decision = aggregate(
-      toks,
-      struct(
-        array((0 until nLangs).map(_ => lit(0)): _*).as("cnts"),
-        lit(0).as("n")),
-      (acc, x) => struct(
-        zip_with(acc.getField("cnts"), stopsArr,
-          (c, st) => c + when(array_contains(st, x), 1).otherwise(0)).as("cnts"),
-        (acc.getField("n") + 1).as("n")),
-      acc => {
-        val n = greatest(acc.getField("n"), lit(1)).cast("double")
-        val scores = transform(acc.getField("cnts"), c => c.cast("double") / n)
-        val best = array_max(scores)
-        // strict > threshold, first language in fixed order wins ties (:66-67)
-        val cand = filter(
-          zip_with(scores, sequence(lit(0), lit(nLangs - 1)),
-            (s, i) => struct(s.as("score"), i.as("idx"))),
-          c => c.getField("score") === best &&
-            c.getField("score") > element_at(thsArr, c.getField("idx") + 1))
-        val picked = element_at(cand, 1)
-        struct(
-          when(size(cand) > 0,
-            element_at(langsArr, picked.getField("idx") + 1)).as("language"),
-          when(size(cand) > 0, picked.getField("score")).as("score"))
-      })
+    val ths = langStops.map(p =>
+      lit(cfg.thresholds.getOrElse(p._1, cfg.defaultThreshold)))
+    val decision = call_function("lang_decision", text +: ths: _*)
     Seq(decision.getField("language").as("language"),
       decision.getField("score").as("language_score_raw"))
   }
