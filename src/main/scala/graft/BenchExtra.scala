@@ -35,8 +35,16 @@ object BenchExtra {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = (if (shmBase != null) builder.config("spark.local.dir", shmBase)
-      else builder).getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": extra session confs for A/B
+    // attribution experiments (e.g. disabling codegen to isolate janino
+    // cost). Diagnostic only — the judged Bench sets none of these.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").toSeq.filter(_.contains("=")))
+      .getOrElse(Nil)
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val builder2 = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+    val spark = (if (shmBase != null) builder2.config("spark.local.dir", shmBase)
+      else builder2).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
