@@ -499,7 +499,15 @@ object CrawlEpoch {
         // serial tail (guide §1.5 metrics-on-the-action; the resume path
         // still falls back to the scan).
         val obs = org.apache.spark.sql.Observation()
-        val out = licensed.join(checkedImages, Seq("image_id"), "left")
+        // Small-schedule epochs: broadcast the checked-images side (it is
+        // bounded by the fetched-image set, itself bounded by the schedule
+        // that already fit a broadcast; blobs were projected away by the
+        // check) so the wide licensed frame — text and license columns —
+        // never crosses an exchange on its way to the sink (guide §2.4/
+        // §3.1). Large-schedule epochs keep the unhinted join: AQE picks.
+        val checkedSide =
+          if (smallSchedule) broadcast(checkedImages) else checkedImages
+        val out = licensed.join(checkedSide, Seq("image_id"), "left")
           .withColumn("epoch", lit(epoch))
           .observe(obs,
             count(when(col("fetch_status") === 200, 1)).as("fetched"),
