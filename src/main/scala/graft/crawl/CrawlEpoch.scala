@@ -614,10 +614,19 @@ object CrawlEpoch {
     import scala.concurrent.duration.Duration
     implicit val ec = CrawlEpoch.stageEc
     val outF = Future(timed("out")(runOutStage()))
+    // Robots marker-only shortcut guard: frontierRowsExact reads the
+    // CURRENT frontier snapshot — after a crash between the frontier-stage
+    // commit and the robots marker, resume sees the POST-epoch frontier,
+    // and if that one is empty the shortcut would silently skip the
+    // epoch's robots verdict delta (ADVICE r5). The shortcut is only
+    // justified when the observed frontier is still this epoch's INPUT,
+    // i.e. the frontier stage has not yet committed for this epoch.
+    val robotsEmptyOk = frontierRowsExact == 0L &&
+      !frontier.stageDone(epoch, "frontier")
     Await.result(Future.sequence(Seq(
       Future(timed("seen")(runSeenStage())),
       Future(timed("frontier")(runFrontierStage())),
-      Future(timed("robots")(runRobotsStage(frontierRowsExact == 0L))))),
+      Future(timed("robots")(runRobotsStage(robotsEmptyOk))))),
       Duration.Inf)
 
     RunningEpoch(

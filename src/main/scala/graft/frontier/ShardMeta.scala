@@ -46,8 +46,20 @@ private[graft] object ShardMeta {
     Files.createDirectories(p.getParent)
     val tmp = Paths.get(root, "snapshots", s"shard-count.${java.util.UUID.randomUUID}.tmp")
     Files.write(tmp, s.toString.getBytes)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // create-EXCLUSIVE move (no REPLACE_EXISTING): two processes first-
+    // building the same shared root can both pass the not-exists check
+    // above; last-writer-wins would silently record mixed geometry — the
+    // exact corruption the fail-fast exists to prevent. The loser re-reads
+    // and compares instead (ADVICE r5).
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        val cur = new String(Files.readAllBytes(p)).trim.toInt
+        if (cur != s) throw new IllegalStateException(
+          s"shard-count mismatch for $root: concurrently recorded $cur, " +
+            s"build asked $s — sidecar geometry is fixed at first build")
+    }
     cache.put(root, s)
   }
 

@@ -36,7 +36,11 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (host, rows, state: GroupState[HostBudgetState]) =>
           val emitted = state.getOption.map(_.emitted).getOrElse(0L)
-          val take = math.max(0L, budgetPerHost - emitted).toInt
+          // clamp BEFORE narrowing: budgetPerHost = Long.MaxValue
+          // ("unlimited") would wrap negative in toInt and silently emit
+          // zero rows for every host (ADVICE r5)
+          val take = math.min(Int.MaxValue.toLong,
+            math.max(0L, budgetPerHost - emitted)).toInt
           // rank key: smaller = better (priority desc, url asc). The max-heap
           // root is then the worst kept row — the eviction victim.
           val byRank = Ordering.by[FrontierRow, (Double, String)](
@@ -151,7 +155,11 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (host, rows, state: GroupState[HostBudgetState]) =>
           val emitted = state.getOption.map(_.emitted).getOrElse(0L)
-          val take = math.max(0L, budgetPerHost - emitted).toInt
+          // clamp BEFORE narrowing: budgetPerHost = Long.MaxValue
+          // ("unlimited") would wrap negative in toInt and silently emit
+          // zero rows for every host (ADVICE r5)
+          val take = math.min(Int.MaxValue.toLong,
+            math.max(0L, budgetPerHost - emitted)).toInt
           val heap = new scala.collection.mutable.PriorityQueue[NormalizedRow]()(rank)
           rows.foreach { r =>
             if (take > 0) {

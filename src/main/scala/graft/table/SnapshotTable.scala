@@ -140,7 +140,14 @@ final class SnapshotTable(val root: String, spark: SparkSession,
       // which never looked above the current ceiling
       val live = hits.filter(h => Files.exists(snapDir.resolve(s"v$h.json")))
       if (live.size != hits.size) idx.byKV((key, value)) = live
-      live.find(_ <= cur)
+      // verify the hit's manifest still carries the requested key/value
+      // (one JSON read per RETURNED hit only): if another process wiped and
+      // rebuilt this root with reused ids, a stale index entry can pass the
+      // existence check while pointing at a new-world snapshot with
+      // different lineage (ADVICE r5) — fall through to the next candidate
+      live.find(h => h <= cur && manifest(h).exists(m =>
+        m.has("lineage") && m.get("lineage").has(key) &&
+          m.get("lineage").get(key).asText == value))
     }
   }
 
