@@ -36,6 +36,8 @@ object GraftFunctions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "shingle_set" -> (es => ShingleSet(es(0), es(1))),
     "sorted_pairs" -> (es => SortedPairs(es.head)),
+    "bounded_min_list" -> (es => BoundedMinList(es(0),
+      es(1).eval().asInstanceOf[Int])),
     "lang_decision" -> (es => LangDecision(es.head,
       es.tail.map(_.eval().asInstanceOf[Double]))),
     "bloom_might_contain" -> (es => graft.frontier.BloomMightContain(es(0), es(1), es(2))),
@@ -82,6 +84,8 @@ object GraftFunctions {
   def extractVisibleText(html: Column): Column = call_function("extract_visible_text", html)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def sortedPairs(arr: Column): Column = call_function("sorted_pairs", arr)
+  def boundedMinList(e: Column, k: Int): Column =
+    call_function("bounded_min_list", e, lit(k))
 
   /** The 11 license metadata columns of the C5 schema from one extract-struct
     * column (the projection step of `license_annotator.py:53-71`), with

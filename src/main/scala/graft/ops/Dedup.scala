@@ -73,27 +73,24 @@ object Dedup {
         hash(slice(col("sig"), j * rows + 1, rows)).as(s"b$j")): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
 
-    // cap pathological buckets (hot-key guard; counted via observe, not
-    // silent — a listener / Verify can read rows_dropped_by_bucket_cap)
-    val bucketed = banded
-      .withColumn("bucket_rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash")).orderBy(col("id"))))
-      .observe("minhash_bucket_cap",
-        sum(when(col("bucket_rank") > maxBucketSize, 1L).otherwise(0L))
-          .as("rows_dropped_by_bucket_cap"))
-      .filter(col("bucket_rank") <= maxBucketSize)
-
-    // Within-bucket pairs from ONE capped members array (sorted_pairs kernel)
-    // instead of a bucket self-join: the self-join evaluated the whole
-    // banding+window subtree twice (its own exchange + broadcast) — guide
-    // §2.4 remove-shuffles. The aggregation reuses the window's (band,
-    // band_hash) hash partitioning (no new exchange), its state is bounded
-    // by the bucket cap, and a_id < b_id holds because members is sorted on
-    // the unique id. Output pairs are identical to the self-join's.
-    val candidates = bucketed
+    // Within-bucket pairs from ONE capped members array (sorted_pairs
+    // kernel) instead of a bucket self-join — guide §2.4 remove-shuffles —
+    // with the bucket cap (hot-key guard) applied by the bounded top-k
+    // aggregate itself: `bounded_min_list(id, cap)` keeps exactly the cap
+    // smallest ids per bucket, the member set the previous
+    // row_number-window + filter + sort_array(collect_list) formulation
+    // kept, but with PARTIAL aggregation — a hot bucket ships at most cap
+    // ids per map task instead of every row through the window's exchange
+    // + sort (guide §2.3/§2.5). Dropped rows stay counted via observe
+    // (count minus kept, not silent). a_id < b_id holds because members is
+    // sorted on the unique id; pairs are identical to the self-join's.
+    val candidates = banded
       .groupBy(col("band"), col("band_hash"))
-      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .agg(GraftFunctions.boundedMinList(col("id"), maxBucketSize).as("members"),
+        count(lit(1)).as("n_in_bucket"))
+      .observe("minhash_bucket_cap",
+        sum(greatest(col("n_in_bucket") - size(col("members")), lit(0L)))
+          .as("rows_dropped_by_bucket_cap"))
       .select(explode(GraftFunctions.sortedPairs(col("members"))).as("p"))
       .select(col("p").getField("a").as("a_id"), col("p").getField("b").as("b_id"))
       .distinct()
@@ -175,21 +172,21 @@ object Dedup {
       (0 until 4).map(j =>
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-      .withColumn("bucket_rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key")).orderBy(col("id"))))
-      .observe(observeName,
-        sum(when(col("bucket_rank") > maxBucketSize, 1L).otherwise(0L))
-          .as("rows_dropped_by_bucket_cap"))
-      .filter(col("bucket_rank") <= maxBucketSize)
 
     // Pairs from ONE capped members array per bucket (see minhashPairs):
-    // members carry (id, sig) — 16 bytes/row, bounded by the cap — so the
-    // Hamming distance is computed in place and no join is needed at all.
-    // sort_array on struct(id, sig) orders by the unique id, so a_id < b_id.
+    // members carry (id, sig) — 16 bytes/row, bounded by the cap via the
+    // bounded top-k aggregate (struct ordering = id ordering, ids unique),
+    // so a hot bucket ships at most cap elements per map task and the
+    // Hamming distance is computed in place, no join at all. Dropped rows
+    // stay counted via observe. Members sorted on the unique id ⇒ a_id < b_id.
     banded
       .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
+      .agg(GraftFunctions.boundedMinList(
+          struct(col("id"), col("sig")), maxBucketSize).as("members"),
+        count(lit(1)).as("n_in_bucket"))
+      .observe(observeName,
+        sum(greatest(col("n_in_bucket") - size(col("members")), lit(0L)))
+          .as("rows_dropped_by_bucket_cap"))
       .select(explode(GraftFunctions.sortedPairs(col("members"))).as("p"))
       .select(
         col("p").getField("a").getField("id").as("a_id"),

@@ -57,6 +57,44 @@ class OptimizationR6Spec extends SparkSpecBase {
     assert(found === expected)
   }
 
+  test("bounded_min_list equals the row_number-window cap it replaced, " +
+      "including over-cap buckets, partial merges and the drop count") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // groups of wildly different sizes; ids inserted in descending order so
+    // the bounded heap must actually evict; 64 input partitions so the
+    // partial->final merge (and state serialization) is exercised
+    val cap = 3
+    val rows = for {
+      g <- 0 until 20
+      i <- 0 until (g * 7 % 23) + 1
+    } yield (g.toLong, (1000 - i).toLong)
+    val df = spark.createDataFrame(rows).toDF("g", "id").repartition(64)
+    val got = df.groupBy("g")
+      .agg(GraftFunctions.boundedMinList(col("id"), cap).as("members"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("members"),
+        greatest(col("n") - size(col("members")), lit(0L)).as("dropped"))
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      g -> ((sorted.take(cap), math.max(0L, sorted.size.toLong - cap)))
+    }
+    assert(got === expected)
+    // struct elements (the hammingPairs64 shape): ordering is by the
+    // leading unique id field, ascending
+    val sgot = spark.createDataFrame(rows).toDF("g", "id")
+      .withColumn("sig", -col("id"))
+      .groupBy("g")
+      .agg(GraftFunctions.boundedMinList(struct(col("id"), col("sig")), cap).as("m"))
+      .select(col("g"), col("m"))
+      .as[(Long, Seq[(Long, Long)])].collect().toMap
+    val sexp = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sorted.take(cap).map(i => (i, -i))
+    }
+    assert(sgot === sexp)
+  }
+
   test("SmallScan.spread floors parallelism on a tiny scan and is gated by size") {
     import spark.implicits._
     val tiny = Seq.tabulate(100)(i => (i.toLong, s"row$i")).toDF("id", "s")
