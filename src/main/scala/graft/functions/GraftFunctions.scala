@@ -86,6 +86,7 @@ object GraftFunctions {
   def sortedPairs(arr: Column): Column = call_function("sorted_pairs", arr)
   def boundedMinList(e: Column, k: Int): Column =
     call_function("bounded_min_list", e, lit(k))
+  def constraintBarrier(e: Column): Column = call_function("constraint_barrier", e)
 
   /** The 11 license metadata columns of the C5 schema from one extract-struct
     * column (the projection step of `license_annotator.py:53-71`), with

@@ -58,17 +58,22 @@ object Dedup {
     val rows = numHashes / bands
     // signatures feed three plan branches (banding + both verify sides):
     // persist so the k×shingles hashing runs once per row, not three times.
+    // The persist carries raw text, NOT the shingle set: only candidate
+    // pairs ever need shingles for verification, so shingle_set is
+    // evaluated ABOVE the verify join (2·|pairs| evaluations instead of
+    // |corpus|, and the cache stores one text column instead of a same-
+    // sized shingle array built for rows that never reach verify).
     // NOT SmallScan.spread here: a measured A/B put the extra exchange of
     // text rows above the single-core hashing it parallelizes (~0.15 s of
     // kernel work vs ~0.3-0.7 s of shuffle+sort — OPTIMIZATION_r06.md).
     val sigs = df.select(
       col(idCol).as("id"),
-      GraftFunctions.minhashSig(col(textCol)).as("sig"),
-      shingleSet(col(textCol), shingleSize).as("toks"))
+      col(textCol).as("text"),
+      GraftFunctions.minhashSig(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band j = hash of signature slice [j*rows, (j+1)*rows)
-    val banded = sigs.select(col("id"), col("toks"), posexplode(
+    val banded = sigs.select(col("id"), posexplode(
       array((0 until bands).map(j =>
         hash(slice(col("sig"), j * rows + 1, rows)).as(s"b$j")): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
@@ -95,15 +100,27 @@ object Dedup {
       .select(col("p").getField("a").as("a_id"), col("p").getField("b").as("b_id"))
       .distinct()
 
-    // exact verification on word-shingle sets (here: distinct token sets for
-    // shingleSize handling see `verifyShingles`). Join strategy left to the
-    // planner/AQE: a measured shuffled-hash hint here traded ~0.1 s of warm
-    // sort time for ~1.2 s of extra one-off planning/codegen per session —
-    // a net loss for a run-once query (OPTIMIZATION_r06.md).
-    val ta = sigs.select(col("id").as("a_id"), col("toks").as("a_toks"))
-    val tb = sigs.select(col("id").as("b_id"), col("toks").as("b_toks"))
+    // exact verification on word-shingle sets, computed ABOVE the join so
+    // only candidate rows pay the shingle kernel (Catalyst prunes columns
+    // through joins but never pushes computed projections below them).
+    // Join strategy left to the planner/AQE: a measured shuffled-hash hint
+    // here traded ~0.1 s of warm sort time for ~1.2 s of extra one-off
+    // planning/codegen per session — a net loss for a run-once query
+    // (OPTIMIZATION_r06.md).
+    val ta = sigs.select(col("id").as("a_id"), col("text").as("a_text"))
+    val tb = sigs.select(col("id").as("b_id"), col("text").as("b_text"))
     candidates
       .join(ta, "a_id").join(tb, "b_id")
+      // constraint_barrier (the non-deterministic identity, see
+      // BloomProbe): without it, predicate pushdown inlines the threshold
+      // filter into the JOIN CONDITION, substituting the shingle kernel
+      // 6x per matched row (jaccard references each side 3x). Barriered,
+      // the filter stays above this project and each shingle set is built
+      // exactly once per candidate row.
+      .withColumn("a_toks", GraftFunctions.constraintBarrier(
+        shingleSet(col("a_text"), shingleSize)))
+      .withColumn("b_toks", GraftFunctions.constraintBarrier(
+        shingleSet(col("b_text"), shingleSize)))
       .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
@@ -210,18 +227,24 @@ object Dedup {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
     val sigs = df.select(col(idCol).as("id"),
-      GraftFunctions.simhash64(col(textCol)).as("sig"),
-      shingleSet(col(textCol), shingleSize).as("toks"))
+      col(textCol).as("text"),
+      GraftFunctions.simhash64(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = hammingPairs64(sigs.select(col("id"), col("sig")),
       maxDistance, maxBucketSize, "simhash_bucket_cap")
     if (jaccardThreshold <= 0.0) pairs
     else {
       // optional exact content confirmation: kills hash-collision pairs of
-      // unrelated docs (a 64-bit simhash collides eventually at corpus scale)
-      val ta = sigs.select(col("id").as("a_id"), col("toks").as("a_toks"))
-      val tb = sigs.select(col("id").as("b_id"), col("toks").as("b_toks"))
+      // unrelated docs (a 64-bit simhash collides eventually at corpus
+      // scale). Shingles are built above the join — candidate rows only —
+      // for the same reasons as in minhashPairs.
+      val ta = sigs.select(col("id").as("a_id"), col("text").as("a_text"))
+      val tb = sigs.select(col("id").as("b_id"), col("text").as("b_text"))
       pairs.join(ta, "a_id").join(tb, "b_id")
+        .withColumn("a_toks", GraftFunctions.constraintBarrier(
+          shingleSet(col("a_text"), shingleSize)))
+        .withColumn("b_toks", GraftFunctions.constraintBarrier(
+          shingleSet(col("b_text"), shingleSize)))
         .filter(jaccard(col("a_toks"), col("b_toks")) >= jaccardThreshold)
         .select(col("a_id"), col("b_id"), col("hamming"))
     }
